@@ -1,0 +1,153 @@
+"""Geometry-kernel golden tests.
+
+Structural ports of the reference's UtilTest.java:60-81 (containsInclusive
+truth table) and TimeZoneTest.java:16-61 (getDistanceFromBoundary goldens)
+onto the numpy kernel. Coordinates go through float32 exactly like the
+reference (Java `float` literals widened to double).
+"""
+
+import numpy as np
+import pytest
+
+from tzengine import geom
+
+
+def square_with_island_rings():
+    """UtilTest.java:17-58 fixture: outer square (lat 1..2, lon 1..2),
+    CCW hole in the upper-left quadrant, CW island inside the hole.
+    Rings as (lon, lat) float32-widened arrays."""
+
+    def ring(latlon):
+        arr = geom.f32(np.array(latlon, dtype=np.float64))
+        return arr[:, ::-1].copy()  # (lat,lon) -> (lon,lat)
+
+    outer = ring([[2, 1], [2, 2], [1, 2], [1, 1]])
+    hole = ring([[1.9, 1.1], [1.5, 1.1], [1.5, 1.5], [1.9, 1.5]])
+    island = ring([[1.7, 1.2], [1.7, 1.3], [1.6, 1.3], [1.6, 1.2]])
+    return [outer, hole, island]
+
+
+RINGS = square_with_island_rings()
+
+
+def pt(lat, lon):
+    """A query point the way the Java tests make one: float literals."""
+    return np.array([[float(np.float32(lon)), float(np.float32(lat))]])
+
+
+# --- UtilTest.java:60-81 truth table -------------------------------------
+
+CONTAINS_CASES = [
+    (1.65, 1.0, True, "on outer left side"),
+    (1.65, 1.1, True, "on hole left side"),
+    (1.65, 1.2, True, "on island left side"),
+    (1.0, 1.0, True, "outer lower-left corner"),
+    (1.5, 1.5, True, "hole corner"),
+    (1.6, 1.3, True, "island corner"),
+    (1.3, 1.3, True, "interior of main area"),
+    (1.65, 1.25, True, "interior of island"),
+    (10.0, 10.0, False, "far outside"),
+    (1.8, 1.4, False, "inside hole"),
+]
+
+
+@pytest.mark.parametrize("lat,lon,expected,label", CONTAINS_CASES)
+def test_contains_inclusive(lat, lon, expected, label):
+    got = geom.contains_inclusive(pt(lat, lon), RINGS)[0]
+    assert bool(got) == expected, label
+
+
+def test_contains_inclusive_vectorized_batch():
+    pts = np.vstack([pt(lat, lon) for lat, lon, _, _ in CONTAINS_CASES])
+    got = geom.contains_inclusive(pts, RINGS)
+    want = np.array([e for _, _, e, _ in CONTAINS_CASES])
+    assert np.array_equal(got, want)
+
+
+# --- TimeZoneTest.java:16-61 distance goldens -----------------------------
+
+DIST_CASES = [
+    (2.0, 2.0, 0.0, 1e-9),
+    (1.5, 2.0, 0.0, 1e-9),
+    (1.5, 1.5, 0.0, 1e-9),
+    (1.7, 1.5, 0.0, 1e-9),
+    (1.7, 1.2, 0.0, 1e-9),
+    (1.7, 1.25, 0.0, 1e-9),
+    (1.5, 1.999, 111.286, 0.001),
+    (1.5, 1.99, 1112.86, 0.1),
+    (1.5, 1.9, 11128.0, 1.0),
+    (1.8, 1.999, 111.270, 0.001),
+    (1.001, 1.5, 110.579, 0.001),
+    (1.01, 1.5, 1105.79, 0.1),
+    (1.1, 1.5, 11057.9, 1.0),
+    (1.25, 1.4, 27643.67, 0.01),
+    (1.30, 1.4, 22114.97, 0.03),
+    (1.20, 1.4, 22114.97, 0.03),
+    (1.65, 1.501, 111.278, 0.001),
+    (1.65, 1.201, 111.265, 0.001),
+    (1.601, 1.25, 110.567, 0.001),
+    (1.65, 1.25, 5563.676, 0.001),
+]
+
+
+@pytest.mark.parametrize("lat,lon,expected,tol", DIST_CASES)
+def test_distance_from_boundary(lat, lon, expected, tol):
+    p = pt(lat, lon)
+    assert geom.contains_inclusive(p, RINGS)[0], "golden points are inside"
+    got = geom.distance_from_boundary(p, RINGS)[0]
+    assert got == pytest.approx(expected, abs=tol)
+
+
+def test_distance_outside_points_guard():
+    # TimeZoneTest.java:19-24 — outside / in-hole points are rejected by
+    # the caller-level guard (TimeZone.kt:43); kernel reports not-contained.
+    assert not geom.contains_inclusive(pt(10, 10), RINGS)[0]
+    assert not geom.contains_inclusive(pt(1.8, 1.4), RINGS)[0]
+
+
+# --- area semantics (TimeZoneMap.kt:217 sort key) --------------------------
+
+
+def test_polygon_area2d_hole_island():
+    # outer 1.0 deg^2, hole 0.4*0.4=0.16, island 0.1*0.1=0.01
+    area = geom.polygon_area2d(RINGS)
+    assert area == pytest.approx(1.0 - 0.16 + 0.01, abs=1e-6)
+
+
+def test_ring_orientation_signs():
+    outer = RINGS[0]  # CW in (lon,lat)
+    assert geom.ring_signed_area(outer) < 0
+    hole = RINGS[1]  # CCW
+    assert geom.ring_signed_area(hole) > 0
+
+
+# --- clip ------------------------------------------------------------------
+
+
+def test_clip_ring_passthrough_and_cut():
+    outer = RINGS[0]
+    clipped = geom.clip_ring_to_box(outer, 0.0, 0.0, 3.0, 3.0)
+    assert geom.polygon_area2d([clipped]) == pytest.approx(1.0, abs=1e-9)
+    half = geom.clip_ring_to_box(outer, 1.5, 0.0, 3.0, 3.0)
+    assert geom.polygon_area2d([half]) == pytest.approx(0.5, abs=1e-6)
+    gone = geom.clip_ring_to_box(outer, 5.0, 5.0, 6.0, 6.0)
+    assert len(gone) == 0
+
+
+def test_clip_boundary_becomes_real_boundary():
+    # TimeZone.kt:26-28 / TimeZoneMapTest.java:332-348: after clipping, the
+    # clip edge counts as zone boundary for distance queries.
+    outer = RINGS[0]
+    clipped = geom.clip_ring_to_box(outer, 1.0, 1.0, 1.5, 3.0)
+    d = geom.distance_from_boundary(np.array([[1.499, 1.2]]), [clipped])[0]
+    # ~0.001 deg of longitude at lat 1.2 ≈ 111.29 m
+    assert d == pytest.approx(111.29, abs=0.5)
+
+
+def test_segments_intersect_box():
+    seg_a, seg_b = geom._segments([RINGS[0]])
+    assert geom.segments_intersect_box(seg_a, seg_b, 0.9, 0.9, 1.1, 1.1)
+    assert not geom.segments_intersect_box(seg_a, seg_b, 1.2, 1.2, 1.4, 1.4)
+    assert geom.segments_intersect_box(seg_a, seg_b, 0.0, 0.0, 5.0, 0.99) is False
+    # box crossing the bottom edge
+    assert geom.segments_intersect_box(seg_a, seg_b, 1.2, 0.5, 1.4, 1.5)

@@ -1,0 +1,404 @@
+"""Planar + geodesic geometry kernel (pure numpy, vectorized).
+
+Re-implements, from public semantics only, the geometry operations the
+reference library delegates to the Esri geometry API:
+
+- float32 vertex normalization   (reference: serialization/.../Serialization.kt:12,
+  builder/.../Main.kt:41-42 — coordinates are stored as float32 and widened
+  back to double for geometry math, Util.kt:19-21)
+- signed ring area / polygon planar area in degrees^2
+  (reference: TimeZoneMap.kt:217 `calculateArea2D()` — used ONLY as the
+  deterministic smallest-area-first sort key)
+- boundary-inclusive point-in-polygon (reference: Util.kt:12-13
+  `contains || touches`; truth table pinned by UtilTest.java:60-81)
+- axis-aligned envelope clip (reference: TimeZoneMap.kt:218-235
+  `OperatorIntersection` against `envelopeToPolygon(initRegion)`)
+- planar nearest-coordinate-on-boundary + WGS84 geodesic distance
+  (reference: TimeZone.kt:41-47 `getNearestCoordinate` +
+  `geodesicDistanceOnWGS84`; goldens pinned by TimeZoneTest.java:16-61)
+
+Conventions: rings are numpy arrays of shape (V, 2) with columns
+(lon, lat) in float64 (x=lon, y=lat, matching `Point(lon, lat)` at
+TimeZoneMap.kt:81). Rings do NOT repeat the first vertex. A polygon is a
+list of rings: orientation encodes role (outer CW, holes CCW, islands CW
+— UtilTest.java:33-56), but the even-odd PIP below is orientation-free.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Tolerance for the on-segment ("touches") test, in degrees. The fixture
+# points sit exactly on segments in float64 after the float32 widening, so
+# this only guards against rounding dust.
+ON_EDGE_EPS = 1e-12
+
+# WGS84 ellipsoid (public constants).
+WGS84_A = 6378137.0
+WGS84_F = 1.0 / 298.257223563
+WGS84_B = WGS84_A * (1.0 - WGS84_F)
+
+
+def f32(x):
+    """Round coordinates through float32 and widen back to float64.
+
+    Matches the reference storage round-trip (Serialization.kt:12 float
+    fields; Util.kt:19-21 `.toDouble()` widening).
+    """
+    return np.asarray(x, dtype=np.float32).astype(np.float64)
+
+
+def ring_signed_area(ring: np.ndarray) -> float:
+    """Shoelace signed area in the (lon, lat) plane, degrees^2.
+
+    Positive for counter-clockwise rings (standard shoelace sign).
+    """
+    x = ring[:, 0]
+    y = ring[:, 1]
+    return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+
+
+def polygon_area2d(rings: list[np.ndarray]) -> float:
+    """Planar area matching esri `calculateArea2D` on a multi-path polygon:
+    the sum of signed ring areas with clockwise positive (outer CW adds,
+    CCW holes subtract, CW islands add back). Used as the area-sort key
+    (TimeZoneMap.kt:216-217)."""
+    return float(sum(-ring_signed_area(r) for r in rings))
+
+
+def rings_bbox(rings: list[np.ndarray]) -> tuple[float, float, float, float]:
+    """(min_lon, min_lat, max_lon, max_lat) over all vertices."""
+    allv = np.vstack(rings)
+    return (
+        float(allv[:, 0].min()),
+        float(allv[:, 1].min()),
+        float(allv[:, 0].max()),
+        float(allv[:, 1].max()),
+    )
+
+
+def _segments(rings: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+    """All ring segments as (S,2) start and end arrays (ring-closing edge
+    included)."""
+    starts = []
+    ends = []
+    for r in rings:
+        if len(r) < 2:
+            continue
+        starts.append(r)
+        ends.append(np.roll(r, -1, axis=0))
+    if not starts:
+        return np.zeros((0, 2)), np.zeros((0, 2))
+    return np.vstack(starts), np.vstack(ends)
+
+
+def points_on_boundary(
+    pts: np.ndarray, seg_a: np.ndarray, seg_b: np.ndarray, eps: float = ON_EDGE_EPS
+) -> np.ndarray:
+    """Boolean (N,) — point lies on any segment (the `touches` half of
+    containsInclusive, Util.kt:12-13). Vectorized N x S."""
+    if len(seg_a) == 0 or len(pts) == 0:
+        return np.zeros(len(pts), dtype=bool)
+    px = pts[:, 0][:, None]
+    py = pts[:, 1][:, None]
+    ax, ay = seg_a[:, 0][None, :], seg_a[:, 1][None, :]
+    bx, by = seg_b[:, 0][None, :], seg_b[:, 1][None, :]
+    # colinear within eps (cross product) and within segment bbox
+    cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+    seg_len = np.hypot(bx - ax, by - ay)
+    colinear = np.abs(cross) <= eps * np.maximum(seg_len, 1.0)
+    inbox = (
+        (px >= np.minimum(ax, bx) - eps)
+        & (px <= np.maximum(ax, bx) + eps)
+        & (py >= np.minimum(ay, by) - eps)
+        & (py <= np.maximum(ay, by) + eps)
+    )
+    return np.any(colinear & inbox, axis=1)
+
+
+def points_in_rings_evenodd(
+    pts: np.ndarray, seg_a: np.ndarray, seg_b: np.ndarray
+) -> np.ndarray:
+    """Boolean (N,) strict even-odd crossing-number containment over all
+    ring segments. Holes flip parity out, islands flip back in — matching
+    the esri interior semantics used by `GeometryEngine.contains`
+    (point in hole = outside, point in island-in-hole = inside,
+    UtilTest.java:74-80)."""
+    if len(seg_a) == 0 or len(pts) == 0:
+        return np.zeros(len(pts), dtype=bool)
+    px = pts[:, 0][:, None]
+    py = pts[:, 1][:, None]
+    ax, ay = seg_a[:, 0][None, :], seg_a[:, 1][None, :]
+    bx, by = seg_b[:, 0][None, :], seg_b[:, 1][None, :]
+    # Half-open rule: segment straddles the horizontal ray at py
+    straddle = (ay > py) != (by > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        x_at = ax + (py - ay) * (bx - ax) / (by - ay)
+    crossing = straddle & (px < x_at)
+    return (np.sum(crossing, axis=1) & 1).astype(bool)
+
+
+def contains_inclusive(pts: np.ndarray, rings: list[np.ndarray]) -> np.ndarray:
+    """Vectorized `containsInclusive` (Util.kt:12-13): even-odd interior
+    OR on-any-boundary. pts: (N,2) as (lon,lat)."""
+    pts = np.atleast_2d(np.asarray(pts, dtype=np.float64))
+    seg_a, seg_b = _segments(rings)
+    return points_in_rings_evenodd(pts, seg_a, seg_b) | points_on_boundary(
+        pts, seg_a, seg_b
+    )
+
+
+# ---------------------------------------------------------------------------
+# Envelope clip (Sutherland–Hodgman per ring).
+# ---------------------------------------------------------------------------
+
+
+def clip_ring_to_box(
+    ring: np.ndarray, xmin: float, ymin: float, xmax: float, ymax: float
+) -> np.ndarray:
+    """Clip one ring against an axis-aligned box (Sutherland–Hodgman,
+    four half-plane passes). Returns (V,2) possibly empty. Mirrors the
+    effect of the reference's `OperatorIntersection` clip against
+    `envelopeToPolygon` (TimeZoneMap.kt:223-228, 245-252) for a single
+    ring; the clip boundary becomes real zone boundary (TimeZone.kt:26-28)."""
+    pts = np.asarray(ring, dtype=np.float64)
+
+    def clip_half(p, inside, intersect):
+        if len(p) == 0:
+            return p
+        keep = inside(p)
+        prev = np.roll(keep, 1)
+        out = []
+        n = len(p)
+        for i in range(n):
+            cur_in = keep[i]
+            prv = p[i - 1]
+            prv_in = prev[i]
+            if cur_in:
+                if not prv_in:
+                    out.append(intersect(prv, p[i]))
+                out.append(p[i])
+            elif prv_in:
+                out.append(intersect(prv, p[i]))
+        return np.array(out) if out else np.zeros((0, 2))
+
+    def ix_lo_x(a, b):
+        t = (xmin - a[0]) / (b[0] - a[0])
+        return np.array([xmin, a[1] + t * (b[1] - a[1])])
+
+    def ix_hi_x(a, b):
+        t = (xmax - a[0]) / (b[0] - a[0])
+        return np.array([xmax, a[1] + t * (b[1] - a[1])])
+
+    def ix_lo_y(a, b):
+        t = (ymin - a[1]) / (b[1] - a[1])
+        return np.array([a[0] + t * (b[0] - a[0]), ymin])
+
+    def ix_hi_y(a, b):
+        t = (ymax - a[1]) / (b[1] - a[1])
+        return np.array([a[0] + t * (b[0] - a[0]), ymax])
+
+    pts = clip_half(pts, lambda p: p[:, 0] >= xmin, ix_lo_x)
+    pts = clip_half(pts, lambda p: p[:, 0] <= xmax, ix_hi_x)
+    pts = clip_half(pts, lambda p: p[:, 1] >= ymin, ix_lo_y)
+    pts = clip_half(pts, lambda p: p[:, 1] <= ymax, ix_hi_y)
+    if len(pts) >= 2:
+        # drop consecutive duplicate vertices introduced by corner clips
+        dup = np.all(np.isclose(pts, np.roll(pts, 1, axis=0), atol=0.0), axis=1)
+        pts = pts[~dup]
+    return pts if len(pts) >= 3 else np.zeros((0, 2))
+
+
+def clip_rings_to_box(
+    rings: list[np.ndarray], xmin: float, ymin: float, xmax: float, ymax: float
+) -> list[np.ndarray]:
+    """Clip every ring; drop rings that collapse. Empty outer → zone piece
+    dropped by the caller (reference `pointCount > 0` filter,
+    TimeZoneMap.kt:233)."""
+    out = []
+    for r in rings:
+        c = clip_ring_to_box(r, xmin, ymin, xmax, ymax)
+        if len(c) >= 3:
+            out.append(c)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Nearest boundary coordinate (planar) + geodesic distance (WGS84).
+# ---------------------------------------------------------------------------
+
+
+def nearest_boundary_point(pts: np.ndarray, rings: list[np.ndarray]) -> np.ndarray:
+    """For each point, the planar-nearest coordinate on any ring segment
+    (degrees), matching esri `GeometryEngine.getNearestCoordinate`
+    (TimeZone.kt:46 — note: nearest is planar; only the final distance is
+    geodesic). Returns (N,2) (lon,lat)."""
+    pts = np.atleast_2d(np.asarray(pts, dtype=np.float64))
+    seg_a, seg_b = _segments(rings)
+    px = pts[:, 0][:, None]
+    py = pts[:, 1][:, None]
+    ax, ay = seg_a[:, 0][None, :], seg_a[:, 1][None, :]
+    bx, by = seg_b[:, 0][None, :], seg_b[:, 1][None, :]
+    dx, dy = bx - ax, by - ay
+    seg_len2 = dx * dx + dy * dy
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = ((px - ax) * dx + (py - ay) * dy) / seg_len2
+    t = np.where(seg_len2 > 0, np.clip(t, 0.0, 1.0), 0.0)
+    cx = ax + t * dx
+    cy = ay + t * dy
+    d2 = (px - cx) ** 2 + (py - cy) ** 2
+    best = np.argmin(d2, axis=1)
+    rows = np.arange(len(pts))
+    return np.stack([cx[rows, best], cy[rows, best]], axis=1)
+
+
+def geodesic_distance_wgs84(
+    lat1, lon1, lat2, lon2, iterations: int = 50
+) -> np.ndarray:
+    """Vectorized Vincenty inverse on the WGS84 ellipsoid, meters.
+
+    Public algorithm (Vincenty 1975). Accuracy ~0.5 mm — inside the
+    reference goldens' tolerances (TimeZoneTest.java:34-60, tightest
+    ±0.001 m on ~111 m). Coincident points return exactly 0.0.
+    """
+    lat1 = np.atleast_1d(np.asarray(lat1, dtype=np.float64))
+    lon1 = np.atleast_1d(np.asarray(lon1, dtype=np.float64))
+    lat2 = np.atleast_1d(np.asarray(lat2, dtype=np.float64))
+    lon2 = np.atleast_1d(np.asarray(lon2, dtype=np.float64))
+
+    a, b, f = WGS84_A, WGS84_B, WGS84_F
+    same = (lat1 == lat2) & (lon1 == lon2)
+
+    U1 = np.arctan((1 - f) * np.tan(np.radians(lat1)))
+    U2 = np.arctan((1 - f) * np.tan(np.radians(lat2)))
+    L = np.radians(lon2 - lon1)
+    sinU1, cosU1 = np.sin(U1), np.cos(U1)
+    sinU2, cosU2 = np.sin(U2), np.cos(U2)
+
+    lam = L.copy()
+    sin_sigma = np.zeros_like(L)
+    cos_sigma = np.ones_like(L)
+    sigma = np.zeros_like(L)
+    cos_sq_alpha = np.ones_like(L)
+    cos2sigma_m = np.zeros_like(L)
+
+    for _ in range(iterations):
+        sin_lam, cos_lam = np.sin(lam), np.cos(lam)
+        sin_sigma = np.sqrt(
+            (cosU2 * sin_lam) ** 2 + (cosU1 * sinU2 - sinU1 * cosU2 * cos_lam) ** 2
+        )
+        cos_sigma = sinU1 * sinU2 + cosU1 * cosU2 * cos_lam
+        sigma = np.arctan2(sin_sigma, cos_sigma)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sin_alpha = np.where(
+                sin_sigma != 0, cosU1 * cosU2 * sin_lam / sin_sigma, 0.0
+            )
+        cos_sq_alpha = 1.0 - sin_alpha**2
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos2sigma_m = np.where(
+                cos_sq_alpha != 0,
+                cos_sigma - 2.0 * sinU1 * sinU2 / np.where(cos_sq_alpha == 0, 1.0, cos_sq_alpha),
+                0.0,
+            )
+        C = f / 16.0 * cos_sq_alpha * (4.0 + f * (4.0 - 3.0 * cos_sq_alpha))
+        lam_new = L + (1.0 - C) * f * sin_alpha * (
+            sigma
+            + C
+            * sin_sigma
+            * (cos2sigma_m + C * cos_sigma * (-1.0 + 2.0 * cos2sigma_m**2))
+        )
+        if np.all(np.abs(lam_new - lam) < 1e-13):
+            lam = lam_new
+            break
+        lam = lam_new
+
+    u_sq = cos_sq_alpha * (a**2 - b**2) / b**2
+    A = 1.0 + u_sq / 16384.0 * (4096.0 + u_sq * (-768.0 + u_sq * (320.0 - 175.0 * u_sq)))
+    B = u_sq / 1024.0 * (256.0 + u_sq * (-128.0 + u_sq * (74.0 - 47.0 * u_sq)))
+    delta_sigma = (
+        B
+        * sin_sigma
+        * (
+            cos2sigma_m
+            + B
+            / 4.0
+            * (
+                cos_sigma * (-1.0 + 2.0 * cos2sigma_m**2)
+                - B
+                / 6.0
+                * cos2sigma_m
+                * (-3.0 + 4.0 * sin_sigma**2)
+                * (-3.0 + 4.0 * cos2sigma_m**2)
+            )
+        )
+    )
+    dist = b * A * (sigma - delta_sigma)
+    return np.where(same, 0.0, dist)
+
+
+def distance_from_boundary(
+    pts: np.ndarray, rings: list[np.ndarray]
+) -> np.ndarray:
+    """Distance (meters) from each point to the planar-nearest boundary
+    coordinate, geodesic on WGS84 — TimeZone.kt:41-47 semantics. Does NOT
+    enforce the inside-guard; callers check `contains_inclusive` first
+    (TimeZone.kt:43)."""
+    pts = np.atleast_2d(np.asarray(pts, dtype=np.float64))
+    nearest = nearest_boundary_point(pts, rings)
+    return geodesic_distance_wgs84(pts[:, 1], pts[:, 0], nearest[:, 1], nearest[:, 0])
+
+
+def segments_intersect_box(
+    seg_a: np.ndarray,
+    seg_b: np.ndarray,
+    xmin: float,
+    ymin: float,
+    xmax: float,
+    ymax: float,
+) -> bool:
+    """True if any segment touches/crosses the box (used by the covering
+    compiler to classify cells as boundary vs uniform). Cohen–Sutherland
+    style outcode test, vectorized."""
+    if len(seg_a) == 0:
+        return False
+
+    def outcode(x, y):
+        code = np.zeros(len(x), dtype=np.int32)
+        code |= np.where(x < xmin, 1, 0)
+        code |= np.where(x > xmax, 2, 0)
+        code |= np.where(y < ymin, 4, 0)
+        code |= np.where(y > ymax, 8, 0)
+        return code
+
+    ca = outcode(seg_a[:, 0], seg_a[:, 1])
+    cb = outcode(seg_b[:, 0], seg_b[:, 1])
+    # trivially inside (either endpoint in box)
+    if np.any((ca == 0) | (cb == 0)):
+        return True
+    # trivially rejected pairs share an outside half-plane
+    cand = (ca & cb) == 0
+    if not np.any(cand):
+        return False
+    # exact check for the remaining candidates: segment vs 4 box edges
+    a = seg_a[cand]
+    b = seg_b[cand]
+    corners = np.array(
+        [[xmin, ymin], [xmax, ymin], [xmax, ymax], [xmin, ymax]], dtype=np.float64
+    )
+    edges_a = corners
+    edges_b = np.roll(corners, -1, axis=0)
+
+    def ccw(p, q, r):
+        return (q[..., 0] - p[..., 0]) * (r[..., 1] - p[..., 1]) - (
+            q[..., 1] - p[..., 1]
+        ) * (r[..., 0] - p[..., 0])
+
+    for i in range(4):
+        ea, eb = edges_a[i], edges_b[i]
+        d1 = ccw(a, b, ea[None, :])
+        d2 = ccw(a, b, eb[None, :])
+        d3 = ccw(ea[None, :], eb[None, :], a)
+        d4 = ccw(ea[None, :], eb[None, :], b)
+        if np.any((d1 * d2 <= 0) & (d3 * d4 <= 0)):
+            return True
+    return False
