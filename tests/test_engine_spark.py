@@ -1,0 +1,131 @@
+"""End-to-end Spark tests: broadcast-index join vs the oracle, distributed
+compile parity, artifact round-trip + version gate, determinism."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from tzengine.engine import TzEngine
+from tzengine.oracle import OracleMap
+from tzengine.zones import pieces_to_df, synthetic_world
+
+
+@pytest.fixture(scope="module")
+def world():
+    return synthetic_world()
+
+
+@pytest.fixture(scope="module")
+def engine(spark, world):
+    return TzEngine.for_everywhere(spark, world, world_version="synth1")
+
+
+@pytest.fixture(scope="module")
+def points_df(spark):
+    rng = np.random.default_rng(42)
+    n = 2000
+    lats = rng.uniform(0.0, 10.0, n)
+    lons = rng.uniform(0.0, 10.0, n)
+    # sprinkle exact boundary / overlap / hole points (FIXTURES.md T1 mix)
+    lats[:5], lons[:5] = 4.5, 4.5  # overlap
+    lats[5:10], lons[5:10] = 1.8, 1.4  # hole
+    lats[10:15], lons[10:15] = 1.0, 1.0  # corner
+    rows = [(f"img{i:06d}", float(lats[i]), float(lons[i])) for i in range(n)]
+    return spark.createDataFrame(rows, "image_id string, lat double, lon double")
+
+
+def test_assign_matches_oracle(engine, world, points_df):
+    oracle = OracleMap(world, -90, -180, 90, 180)
+    got = engine.assign_timezones(points_df, mode="strict").collect()
+    assert len(got) == points_df.count()
+    mism = 0
+    for r in got:
+        want = oracle.get_overlapping_time_zones(r.lat, r.lon)
+        if list(r.tzids) != want or r.tzid != (want[0] if want else None):
+            mism += 1
+    assert mism == 0  # exact zone-match rate = 100% (BASELINE.json metric)
+
+
+def test_assign_plan_is_shuffle_free(engine, points_df):
+    # the probe is a broadcast join: no Exchange in the physical plan
+    out = engine.assign_timezones(points_df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan or "Python" in plan
+
+
+def test_deterministic_across_runs(engine, points_df):
+    a = engine.assign_timezones(points_df).orderBy("image_id").collect()
+    b = engine.assign_timezones(points_df).orderBy("image_id").collect()
+    assert a == b
+    # cell/shard assignment is a pure function of the row (north_star)
+    assert all(r.cell_id == s.cell_id and r.zone_shard == s.zone_shard
+               for r, s in zip(a, b))
+
+
+def test_distributed_compile_parity(spark, world, points_df, engine):
+    zones_df = pieces_to_df(spark, world)
+    dist_engine = TzEngine.for_everywhere(
+        spark, zones_df, world_version="synth1", distributed=True
+    )
+    a = engine.assign_timezones(points_df).orderBy("image_id").collect()
+    b = dist_engine.assign_timezones(points_df).orderBy("image_id").collect()
+    assert a == b
+
+
+def test_zones_accessor_rank_order(engine):
+    rows = engine.zones().orderBy("area_rank").collect()
+    assert [r.zone_id for r in rows] == [
+        "Zone/Enclave", "Zone/SquareIsland", "Zone/Small", "Zone/Multi",
+        "Zone/Multi", "Zone/Host", "Zone/Big", "Zone/Filler",
+    ]
+    areas = [r.area_deg2 for r in rows]
+    assert areas == sorted(areas)
+
+
+def test_artifact_roundtrip_and_version_gate(spark, engine, points_df, tmp_path):
+    path = str(tmp_path / "tzindex")
+    engine.save_artifact(path)
+    loaded = TzEngine.from_artifact(spark, path)
+    assert loaded.map_version == engine.map_version
+    a = engine.assign_timezones(points_df).orderBy("image_id").collect()
+    b = loaded.assign_timezones(points_df).orderBy("image_id").collect()
+    assert a == b
+
+    # corrupt the version marker → fail fast (reference I3 contract)
+    import json, os
+    meta_file = os.path.join(path, "_index_meta.json")
+    meta = json.load(open(meta_file))
+    meta["version"] = "999:synth1"
+    json.dump(meta, open(meta_file, "w"))
+    with pytest.raises(ValueError, match="Incompatible map archive"):
+        TzEngine.from_artifact(spark, path)
+
+
+def test_strict_mode_out_of_region_raises(spark, world):
+    scoped = TzEngine.for_region(spark, world, 4, 4, 5, 5, world_version="synth1")
+    df = spark.createDataFrame([(5.5, 4.5)], "lat double, lon double")
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    with pytest.raises((Py4JJavaError, PythonException), match="outside the initialized area"):
+        scoped.assign_timezones(df, mode="strict").collect()
+    # pipeline mode: null tzid instead
+    row = scoped.assign_timezones(df, mode="pipeline").collect()[0]
+    assert row.tzid is None
+
+
+def test_distance_and_knn_ops(engine, spark):
+    df = spark.createDataFrame(
+        [(float(np.float32(1.5)), float(np.float32(1.999)))], "lat double, lon double"
+    )
+    out = engine.assign_timezones(df)
+    out = engine.distance_from_boundary(out)
+    row = out.collect()[0]
+    assert row.tzid == "Zone/SquareIsland"
+    assert row.boundary_dist_m == pytest.approx(111.286, abs=0.001)
+
+    knn = engine.knn_zones(spark.createDataFrame([(4.5, 6.5)], "lat double, lon double"), k=3)
+    # Filler contains the point (0 m); Big is 0.5 deg away; Small 1.5 deg
+    assert knn.collect()[0].nearest_tzids == ["Zone/Filler", "Zone/Big", "Zone/Small"]

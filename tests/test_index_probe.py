@@ -1,0 +1,183 @@
+"""Index compiler + probe kernel vs the reference-semantics oracle.
+
+Structural ports of TimeZoneMapTest.java over the synthetic world
+(FIXTURES.md T4): golden lookups, scoped==everywhere, init validation,
+clip invariant, out-of-region guard, degenerate stripe region.
+"""
+
+import numpy as np
+import pytest
+
+from tzengine import geom, index, probe
+from tzengine.oracle import OracleMap
+from tzengine.zones import synthetic_world
+
+WORLD = synthetic_world()
+EVERYWHERE = index.compile_index(WORLD, -90, -180, 90, 180, world_version="synth1")
+ORACLE = OracleMap(WORLD, -90, -180, 90, 180)
+
+
+def engine_lookup(idx, lat, lon, mode="strict"):
+    offsets, ranks, valid = probe.probe_ranks(
+        idx, np.array([lat]), np.array([lon]), mode=mode
+    )
+    tzid, tzids = probe.ranks_to_tzids(idx, offsets, ranks, valid)
+    return tzid[0], tzids[0]
+
+
+# --- golden fixture points (ports TimeZoneMapTest sanityCheckKnownLocations
+# structure: list equality, head == single lookup, scoped == everywhere) ----
+
+GOLDENS = [
+    # (lat, lon, expected tzids area-ascending)
+    (1.3, 1.3, ["Zone/SquareIsland", "Zone/Filler"]),  # main area
+    (1.65, 1.25, ["Zone/SquareIsland", "Zone/Filler"]),  # island interior
+    (1.8, 1.4, ["Zone/Filler"]),  # in the hole
+    (4.5, 4.5, ["Zone/Small", "Zone/Big", "Zone/Filler"]),  # overlap (Xinjiang port)
+    (3.5, 3.5, ["Zone/Big", "Zone/Filler"]),
+    (7.5, 1.5, ["Zone/Multi", "Zone/Filler"]),  # multipolygon piece 0
+    (7.5, 3.5, ["Zone/Multi", "Zone/Filler"]),  # multipolygon piece 1
+    (7.5, 2.5, ["Zone/Filler"]),  # between the pieces
+    (8.3, 6.3, ["Zone/Enclave", "Zone/Host", "Zone/Filler"]),  # enclave
+    (8.1, 6.1, ["Zone/Host", "Zone/Filler"]),
+    (9.5, 9.5, ["Zone/Filler"]),
+    (0.0, 0.0, ["Zone/Filler"]),  # world corner
+    (10.0, 10.0, ["Zone/Filler"]),  # world corner (inclusive)
+    # exact boundary points (float32 grid)
+    (float(np.float32(1.65)), 1.0, ["Zone/SquareIsland", "Zone/Filler"]),  # outer edge
+    (1.0, 1.0, ["Zone/SquareIsland", "Zone/Filler"]),  # outer corner
+    (float(np.float32(1.5)), float(np.float32(1.5)), ["Zone/SquareIsland", "Zone/Filler"]),  # hole corner
+    (4.0, 4.0, ["Zone/Small", "Zone/Big", "Zone/Filler"]),  # Small corner
+    (5.0, 5.0, ["Zone/Small", "Zone/Big", "Zone/Filler"]),  # Small corner opposite
+    (3.0, 3.0, ["Zone/Big", "Zone/Filler"]),  # Big corner
+    (8.0, 6.0, ["Zone/Host", "Zone/Filler"]),  # Host corner
+    (float(np.float32(8.2)), float(np.float32(6.2)), ["Zone/Enclave", "Zone/Host", "Zone/Filler"]),
+]
+
+
+@pytest.mark.parametrize("lat,lon,expected", GOLDENS)
+def test_everywhere_goldens(lat, lon, expected):
+    # oracle mirrors the reference pipeline; engine must agree with both
+    assert ORACLE.get_overlapping_time_zones(lat, lon) == expected
+    tzid, tzids = engine_lookup(EVERYWHERE, lat, lon)
+    assert tzids == expected
+    assert tzid == expected[0]
+
+
+@pytest.mark.parametrize("lat,lon,expected", GOLDENS)
+def test_scoped_equals_everywhere(lat, lon, expected):
+    # TimeZoneMapTest.java:112-123: map scoped to point±1 gives identical lists
+    idx = index.compile_index(
+        WORLD, lat - 1, lon - 1, lat + 1, lon + 1, world_version="synth1"
+    )
+    _, tzids = engine_lookup(idx, lat, lon)
+    assert tzids == expected
+
+
+def test_random_sweep_vs_oracle():
+    rng = np.random.default_rng(42)
+    lats = rng.uniform(-0.5, 10.5, 3000)
+    lons = rng.uniform(-0.5, 10.5, 3000)
+    offsets, ranks, valid = probe.probe_ranks(EVERYWHERE, lats, lons, mode="strict")
+    _, tzids = probe.ranks_to_tzids(EVERYWHERE, offsets, ranks, valid)
+    for i in range(len(lats)):
+        assert tzids[i] == ORACLE.get_overlapping_time_zones(lats[i], lons[i]), (
+            lats[i],
+            lons[i],
+        )
+
+
+def test_init_validation_permutations():
+    # TimeZoneMapTest.java:214-230: min >= max raises, 4 permutations
+    for args in [(5, 0, 5, 10), (6, 0, 5, 10), (0, 5, 10, 5), (0, 6, 10, 5)]:
+        with pytest.raises(ValueError):
+            index.compile_index(WORLD, *args, world_version="synth1")
+
+
+def test_outside_guard_strict_and_pipeline():
+    idx = index.compile_index(WORLD, 4, 4, 5, 5, world_version="synth1")
+    # corner points accepted (inclusive), TimeZoneMapTest.java:361-373
+    for lat, lon in [(4.0, 4.0), (5.0, 5.0), (4.0, 5.0), (5.0, 4.0)]:
+        tzid, _ = engine_lookup(idx, lat, lon)
+        assert tzid == "Zone/Small"
+    # one ulp outside raises in strict mode
+    up = np.nextafter(5.0, 10.0)
+    with pytest.raises(ValueError, match="outside the initialized area"):
+        engine_lookup(idx, up, 4.5)
+    # pipeline mode: null result, no raise
+    tzid, tzids = engine_lookup(idx, up, 4.5, mode="pipeline")
+    assert tzid is None and tzids is None
+
+
+def test_clip_invariant_extents_within_region():
+    # TimeZoneMapTest.java:294-302: every scoped piece's extents ⊆ envelope
+    idx = index.compile_index(WORLD, 3.5, 3.5, 8.5, 8.5, world_version="synth1")
+    for rank in range(idx.n_pieces):
+        lo_lon, lo_lat, hi_lon, hi_lat = geom.rings_bbox(idx.piece_rings(rank))
+        assert lo_lat >= 3.5 - 1e-9 and hi_lat <= 8.5 + 1e-9
+        assert lo_lon >= 3.5 - 1e-9 and hi_lon <= 8.5 + 1e-9
+    # clipped Big is present and still ranked by PRE-clip area (after
+    # Small, which is smaller pre-clip even though both clip to overlap)
+    zids = idx.zone_ids
+    assert zids.index("Zone/Small") < zids.index("Zone/Big")
+
+
+def test_degenerate_stripe_region():
+    # TimeZoneMapTest.java:386-403: 1e-6-degree-tall stripe still answers
+    idx = index.compile_index(
+        WORLD, 4.5, 0.0, 4.5 + 1e-6, 10.0, world_version="synth1"
+    )
+    tzid, _ = engine_lookup(idx, 4.5, 4.5)
+    assert tzid == "Zone/Small"
+    tzid, _ = engine_lookup(idx, 4.5, 9.0)
+    assert tzid == "Zone/Filler"
+
+
+def test_scoped_region_distance_to_clip_edge():
+    # TimeZoneMapTest.java:332-348: clip boundary counts as zone boundary
+    idx = index.compile_index(WORLD, 9.0, 9.0, 10.0, 10.0, world_version="synth1")
+    d = probe.distance_from_boundary_batch(
+        idx, ["Zone/Filler"], np.array([9.5]), np.array([9.9996]), mode="strict"
+    )[0]
+    # ~0.0004 deg of longitude at lat 9.5 ≈ 44 m (the reference's 44m case)
+    assert d == pytest.approx(44.0, abs=1.0)
+
+
+def test_distance_errors_and_hole():
+    with pytest.raises(ValueError, match="inside the time zone"):
+        probe.distance_from_boundary_batch(
+            EVERYWHERE, ["Zone/SquareIsland"], np.array([1.8]), np.array([1.4])
+        )
+    d = probe.distance_from_boundary_batch(
+        EVERYWHERE, ["Zone/SquareIsland"], np.array([1.8]), np.array([1.4]),
+        mode="pipeline",
+    )
+    assert np.isnan(d[0])
+
+
+def test_knn_ordering():
+    res = probe.knn_zones_batch(EVERYWHERE, np.array([4.5]), np.array([4.5]), k=3)[0]
+    assert res == ["Zone/Small", "Zone/Big", "Zone/Filler"]
+    # outside every non-filler zone: nearest should be the closest boundary
+    res = probe.knn_zones_batch(EVERYWHERE, np.array([4.5]), np.array([6.5]), k=3)[0]
+    assert res[0] == "Zone/Filler"  # contains the point (distance 0)
+    assert res[1] == "Zone/Big"  # 0.5 deg away beats Small at 1.5 deg
+
+
+def test_version_gate():
+    # reference I3 / TimeZoneMapTest.java:153-177
+    with pytest.raises(ValueError, match="Incompatible map archive"):
+        index.check_index_version("999:synth1")
+    index.check_index_version(EVERYWHERE.version)  # current version accepted
+
+
+def test_cover_piece_interior_and_boundary():
+    rings = EVERYWHERE.piece_rings(EVERYWHERE.zone_ids.index("Zone/Filler"))
+    cids, interior = index.cover_piece(rings, depth=4)
+    assert interior.any() and (~interior).any()
+    # interior cells resolve without PIP: their centers are inside
+    from tzengine import cells as cellmod
+
+    b = cellmod.cell_bounds(cids[interior])
+    centers = np.stack([(b[:, 0] + b[:, 2]) / 2, (b[:, 1] + b[:, 3]) / 2], axis=1)
+    assert geom.contains_inclusive(centers, rings).all()

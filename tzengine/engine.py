@@ -1,0 +1,358 @@
+"""TzEngine — the public Spark-facing API.
+
+The reference's `TimeZoneMap` surface (forEverywhere / forRegion /
+getOverlappingTimeZone(s) / getDistanceFromBoundary / mapVersion /
+timeZones / initializedRegion, TimeZoneMap.kt + TimeZone.kt) re-expressed
+as DataFrame transforms: the compiled covering index is a Spark broadcast
+variable and every query op is a vectorized pandas UDF over Arrow batches
+— no per-row Python (input_hint), no shuffle on the probe side (the whole
+lookup is a broadcast spatial join).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import cells as cellmod
+from . import index as indexmod
+from . import probe as probemod
+from .zones import ZonePiece, pieces_to_df, rows_to_pieces
+
+DEFAULT_PROBE_RES = 7  # output cell resolution for tiling/shard analytics
+DEFAULT_N_SHARDS = 64
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit mix (public splitmix64 finalizer) — the
+    image→cell→zone-shard assignment must be a pure function of the row
+    (north_star restart determinism), so no RNG, no partition ids."""
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+ASSIGN_SCHEMA = T.StructType(
+    [
+        T.StructField("tzid", T.StringType()),
+        T.StructField("tzids", T.ArrayType(T.StringType())),
+        T.StructField("cell_id", T.LongType()),
+        T.StructField("zone_shard", T.IntegerType()),
+    ]
+)
+
+
+class TzEngine:
+    """Immutable after construction (like the reference map object —
+    share freely across queries)."""
+
+    def __init__(self, spark: SparkSession, idx: indexmod.CompiledIndex):
+        from .session import ensure_shipped
+
+        ensure_shipped(spark)  # executors must be able to import tzengine
+        self.spark = spark
+        self.idx = idx
+        self._bc = spark.sparkContext.broadcast(idx)
+
+    # -- construction (reference I0-I13) ------------------------------------
+
+    @classmethod
+    def for_region(
+        cls,
+        spark: SparkSession,
+        zones,
+        min_lat: float,
+        min_lon: float,
+        max_lat: float,
+        max_lon: float,
+        world_version: str = "unknown",
+        depth: int = 5,
+        distributed: bool = False,
+    ) -> "TzEngine":
+        """``zones``: list[ZonePiece] or a zones DataFrame (schema
+        zones.ZONES_SCHEMA_DDL). With a DataFrame the bbox prune runs as a
+        pushed-down Parquet predicate BEFORE collect — the engine analogue
+        of the reference's deserialize-free envelope prune (O1,
+        TimeZoneMap.kt:184-196)."""
+        indexmod.validate_region(min_lat, min_lon, max_lat, max_lon)
+
+        cover_entries = None
+        if isinstance(zones, DataFrame):
+            pruned = zones.filter(
+                ~(
+                    (F.col("max_lat") < F.lit(min_lat))
+                    | (F.col("min_lat") > F.lit(max_lat))
+                    | (F.col("max_lon") < F.lit(min_lon))
+                    | (F.col("min_lon") > F.lit(max_lon))
+                )
+            )
+            if distributed:
+                cover_entries = cls._distributed_cover(
+                    pruned, min_lat, min_lon, max_lat, max_lon, depth
+                )
+            pieces = rows_to_pieces(
+                pruned.select("zone_id", "polygon_id", "ordinal", "rings").collect()
+            )
+        else:
+            pieces = list(zones)
+
+        idx = indexmod.compile_index(
+            pieces,
+            min_lat,
+            min_lon,
+            max_lat,
+            max_lon,
+            world_version=world_version,
+            depth=depth,
+            cover_entries=cover_entries,
+        )
+        return cls(spark, idx)
+
+    @classmethod
+    def for_everywhere(
+        cls, spark: SparkSession, zones, world_version: str = "unknown", **kw
+    ) -> "TzEngine":
+        """Reference forEverywhere() == forRegion(-90,-180,90,180)
+        (TimeZoneMap.kt:97-98)."""
+        return cls.for_region(
+            spark, zones, -90.0, -180.0, 90.0, 180.0, world_version=world_version, **kw
+        )
+
+    @staticmethod
+    def _distributed_cover(
+        zones_df: DataFrame, min_lat, min_lon, max_lat, max_lon, depth
+    ) -> dict[int, tuple[np.ndarray, np.ndarray]]:
+        """Scale path for large zone sets: each zone piece's covering is
+        computed on executors via applyInPandas (clip + BFS are per-piece
+        embarrassingly parallel), then collected — only cell ids cross the
+        wire, not geometry. SURVEY §3.1 'engine equivalent'."""
+        from . import geom
+
+        def cover_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            out_rows = []
+            for _, row in pdf.iterrows():
+                rings = [
+                    np.array([(v["lon"], v["lat"]) for v in ring], dtype=np.float64)
+                    for ring in row["rings"]
+                ]
+                lo_lon, lo_lat, hi_lon, hi_lat = geom.rings_bbox(rings)
+                if not (
+                    lo_lat >= min_lat
+                    and hi_lat <= max_lat
+                    and lo_lon >= min_lon
+                    and hi_lon <= max_lon
+                ):
+                    rings = geom.clip_rings_to_box(
+                        rings, min_lon, min_lat, max_lon, max_lat
+                    )
+                    if not rings or geom.polygon_area2d(rings) <= 0:
+                        continue
+                cids, interior = indexmod.cover_piece(rings, depth=depth)
+                for c, flag in zip(cids.astype(np.int64), interior):
+                    out_rows.append((int(row["ordinal"]), int(c), bool(flag)))
+            return pd.DataFrame(
+                out_rows, columns=["ordinal", "cell_id", "interior"]
+            )
+
+        res = (
+            zones_df.repartition(32, "zone_id", "polygon_id")
+            .groupBy("zone_id", "polygon_id")
+            .applyInPandas(cover_group, "ordinal int, cell_id long, interior boolean")
+            .collect()
+        )
+        entries: dict[int, tuple[list, list]] = {}
+        for r in res:
+            entries.setdefault(r.ordinal, ([], []))
+            entries[r.ordinal][0].append(np.uint64(r.cell_id))
+            entries[r.ordinal][1].append(r.interior)
+        return {
+            k: (np.array(v[0], dtype=np.uint64), np.array(v[1], dtype=bool))
+            for k, v in entries.items()
+        }
+
+    # -- accessors (reference I14) -------------------------------------------
+
+    @property
+    def map_version(self) -> str:
+        return self.idx.version
+
+    @property
+    def initialized_region(self) -> tuple[float, float, float, float]:
+        return self.idx.init_region
+
+    def zones(self) -> DataFrame:
+        """The clipped, area-rank-ordered zone pieces as a DataFrame
+        (reference `timeZones` accessor, TimeZoneMap.kt:34)."""
+        idx = self.idx
+        rows = []
+        for rank in range(idx.n_pieces):
+            rings = [
+                [(float(v[1]), float(v[0])) for v in r] for r in idx.piece_rings(rank)
+            ]
+            lo = [min(v[0] for r in rings for v in r), min(v[1] for r in rings for v in r)]
+            hi = [max(v[0] for r in rings for v in r), max(v[1] for r in rings for v in r)]
+            rows.append(
+                (
+                    rank,
+                    idx.zone_ids[rank],
+                    int(idx.polygon_ids[rank]),
+                    float(idx.areas[rank]),
+                    rings,
+                    lo[0], lo[1], hi[0], hi[1],
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            schema=(
+                "area_rank int, zone_id string, polygon_id int, area_deg2 double, "
+                "rings array<array<struct<lat: double, lon: double>>>, "
+                "min_lat double, min_lon double, max_lat double, max_lon double"
+            ),
+        )
+
+    # -- query ops ------------------------------------------------------------
+
+    def assign_timezones(
+        self,
+        df: DataFrame,
+        lat_col: str = "lat",
+        lon_col: str = "lon",
+        mode: str = "pipeline",
+        probe_res: int = DEFAULT_PROBE_RES,
+        n_shards: int = DEFAULT_N_SHARDS,
+    ) -> DataFrame:
+        """The core operator: point ⋈ zone-set broadcast spatial join.
+
+        Adds columns tzid (smallest-area match, Q1), tzids (all matches
+        area-ascending, Q2), cell_id (probe-res tile), zone_shard
+        (deterministic output shard). No shuffle: the index is broadcast,
+        the probe is a narrow map over Arrow batches."""
+        bc = self._bc
+
+        @F.pandas_udf(ASSIGN_SCHEMA)
+        def _assign(lat: pd.Series, lon: pd.Series) -> pd.DataFrame:
+            idx = bc.value
+            lats = lat.to_numpy(dtype=np.float64)
+            lons = lon.to_numpy(dtype=np.float64)
+            offsets, ranks, valid = probemod.probe_ranks(idx, lats, lons, mode=mode)
+            tzid, tzids = probemod.ranks_to_tzids(idx, offsets, ranks, valid)
+            safe_lats = np.where(valid, lats, 0.0)
+            safe_lons = np.where(valid, lons, 0.0)
+            cell = cellmod.cell_of(safe_lons, safe_lats, probe_res).astype(np.int64)
+            shard = (_splitmix64(cell.astype(np.uint64)) % np.uint64(n_shards)).astype(
+                np.int32
+            )
+            cell_out: object = cell
+            shard_out: object = shard
+            if not valid.all():
+                # invalid (out-of-region / NaN) rows get null cell/shard
+                cell_out = np.where(valid, cell.astype(object), None)
+                shard_out = np.where(valid, shard.astype(object), None)
+            return pd.DataFrame(
+                {
+                    "tzid": tzid,
+                    "tzids": tzids,
+                    "cell_id": cell_out,
+                    "zone_shard": shard_out,
+                }
+            )
+
+        res = df.withColumn("__tz", _assign(F.col(lat_col), F.col(lon_col)))
+        return res.select("*", "__tz.tzid", "__tz.tzids", "__tz.cell_id", "__tz.zone_shard").drop(
+            "__tz"
+        )
+
+    def distance_from_boundary(
+        self,
+        df: DataFrame,
+        zone_col: str = "tzid",
+        lat_col: str = "lat",
+        lon_col: str = "lon",
+        mode: str = "pipeline",
+        out_col: str = "boundary_dist_m",
+    ) -> DataFrame:
+        """Q5: meters to the nearest boundary coordinate of the named
+        zone's containing piece (TimeZone.kt:41-47); clip edges count as
+        boundary. Outside point → error (strict) / null (pipeline)."""
+        bc = self._bc
+
+        @F.pandas_udf(T.DoubleType())
+        def _dist(zone: pd.Series, lat: pd.Series, lon: pd.Series) -> pd.Series:
+            idx = bc.value
+            d = probemod.distance_from_boundary_batch(
+                idx,
+                zone.tolist(),
+                lat.to_numpy(dtype=np.float64),
+                lon.to_numpy(dtype=np.float64),
+                mode=mode,
+            )
+            return pd.Series(d)
+
+        return df.withColumn(out_col, _dist(F.col(zone_col), F.col(lat_col), F.col(lon_col)))
+
+    def knn_zones(
+        self,
+        df: DataFrame,
+        k: int = 3,
+        lat_col: str = "lat",
+        lon_col: str = "lon",
+        out_col: str = "nearest_tzids",
+    ) -> DataFrame:
+        """kNN fallback (north_star): zones ordered by boundary distance;
+        contained zones are distance 0 and keep the area-rank order, so the
+        head agrees with getOverlappingTimeZones for covered points."""
+        bc = self._bc
+
+        @F.pandas_udf(T.ArrayType(T.StringType()))
+        def _knn(lat: pd.Series, lon: pd.Series) -> pd.Series:
+            idx = bc.value
+            res = probemod.knn_zones_batch(
+                idx,
+                lat.to_numpy(dtype=np.float64),
+                lon.to_numpy(dtype=np.float64),
+                k,
+            )
+            return pd.Series(res)
+
+        return df.withColumn(out_col, _knn(F.col(lat_col), F.col(lon_col)))
+
+    # -- durable artifact ------------------------------------------------------
+
+    def save_artifact(self, path: str) -> None:
+        """Iceberg-style persistence: clipped zones as Parquet + JSON
+        metadata sidecar with the version marker (reference B9 archive +
+        version entry, Main.kt:112-161)."""
+        self.zones().write.mode("overwrite").parquet(f"{path}/zones")
+        indexmod.save_index_meta(path, self.idx)
+
+    @classmethod
+    def from_artifact(cls, spark: SparkSession, path: str, **kw) -> "TzEngine":
+        """Load + version-gate (reference I3 — fails fast before any Spark
+        job when the artifact format is incompatible)."""
+        meta = indexmod.load_index_meta(path)
+        zones_df = spark.read.parquet(f"{path}/zones")
+        rows = zones_df.select(
+            "zone_id",
+            "polygon_id",
+            F.col("area_rank").alias("ordinal"),
+            "rings",
+            "area_deg2",
+        ).collect()
+        pieces = rows_to_pieces(rows)
+        pieces.sort(key=lambda p: p.ordinal)
+        # The artifact stores PRE-clip areas (the reference's documented
+        # sort key) alongside already-clipped rings; feed them back so the
+        # rank order survives the round-trip exactly.
+        areas = {r.ordinal: r.area_deg2 for r in rows}
+        min_lat, min_lon, max_lat, max_lon = meta["init_region"]
+        world_version = meta["version"].split(":", 1)[1]
+        idx = indexmod.compile_index(
+            pieces, min_lat, min_lon, max_lat, max_lon,
+            world_version=world_version, precomputed_areas=areas, **kw,
+        )
+        return cls(spark, idx)

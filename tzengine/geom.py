@@ -203,8 +203,10 @@ def clip_ring_to_box(
     pts = clip_half(pts, lambda p: p[:, 1] >= ymin, ix_lo_y)
     pts = clip_half(pts, lambda p: p[:, 1] <= ymax, ix_hi_y)
     if len(pts) >= 2:
-        # drop consecutive duplicate vertices introduced by corner clips
-        dup = np.all(np.isclose(pts, np.roll(pts, 1, axis=0), atol=0.0), axis=1)
+        # drop consecutive EXACT duplicate vertices introduced by corner
+        # clips (exact compare: degenerate 1e-6-deg regions are legal,
+        # TimeZoneMapTest.java:386-403)
+        dup = np.all(pts == np.roll(pts, 1, axis=0), axis=1)
         pts = pts[~dup]
     return pts if len(pts) >= 3 else np.zeros((0, 2))
 

@@ -1,0 +1,286 @@
+"""Covering-index compiler + versioned broadcast artifact.
+
+Reproduces the reference's index-construction semantics
+(`TimeZoneMap.forRegion`, TimeZoneMap.kt:156-243) and replaces its
+physical strategy (area-sorted list + lazy linear scan) with the
+north-star design: a mixed-resolution cell covering with
+interior/boundary flags, compiled once and broadcast to executors.
+
+Pipeline (reference step → here):
+  I1  validate min<max                  → ``validate_region``
+  I5  bbox prune before deserialize     → bbox filter (driver) /
+                                          pushed-down Parquet predicate
+                                          (distributed path)
+  I10 exact-extent filter               → same predicate on exact bbox
+  I11 area sort, stable ordinal ties    → ``rank`` = position after
+                                          ``sorted(key=(area, ordinal))``
+  I12 clip + split to init region       → Sutherland–Hodgman ring clip
+  I13 materialize + broadcast           → ``CompiledIndex`` → ``sc.broadcast``
+  I3  version gate                      → ``load_index`` checks
+                                          "<fmt>:<world>" marker
+
+The compiled artifact is flat numpy (CSR) — no Python dicts-of-lists — so
+the probe kernel stays fully vectorized and the broadcast pickles small.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from . import INDEX_FORMAT_VERSION, cells, geom
+from .zones import ZonePiece
+
+
+def validate_region(min_lat, min_lon, max_lat, max_lon) -> None:
+    """Reference I1 (TimeZoneMap.kt:160-161): strict inequality, same
+    messages, ValueError standing in for IllegalArgumentException."""
+    if not min_lat < max_lat:
+        raise ValueError("Minimum latitude must be less than maximum latitude")
+    if not min_lon < max_lon:
+        raise ValueError("Minimum longitude must be less than maximum longitude")
+
+
+@dataclass
+class CompiledIndex:
+    """Broadcast payload. All arrays flat; ``rank`` == piece position
+    (pieces are stored area-rank-ascending, the reference's deterministic
+    overlap order, TimeZoneMap.kt:216-217)."""
+
+    version: str  # "<INDEX_FORMAT_VERSION>:<world_version>"
+    init_region: tuple[float, float, float, float]  # min_lat,min_lon,max_lat,max_lon
+    zone_ids: list[str]  # per piece, rank order
+    polygon_ids: np.ndarray  # int32 per piece
+    areas: np.ndarray  # float64 pre-clip area (deg^2) per piece
+    # clipped ring geometry, CSR piece -> rings -> vertices
+    ring_offsets: np.ndarray  # int64 (P+1,)
+    vert_offsets: np.ndarray  # int64 (R+1,)
+    verts: np.ndarray  # float64 (V, 2) lon,lat
+    # cell lookup, grouped by resolution: res -> (sorted cell ids,
+    # entry offsets, entry piece ranks, entry interior flags)
+    levels: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]
+
+    @property
+    def n_pieces(self) -> int:
+        return len(self.zone_ids)
+
+    def piece_rings(self, rank: int) -> list[np.ndarray]:
+        rings = []
+        for ri in range(self.ring_offsets[rank], self.ring_offsets[rank + 1]):
+            rings.append(self.verts[self.vert_offsets[ri] : self.vert_offsets[ri + 1]])
+        return rings
+
+    def nbytes(self) -> int:
+        n = self.verts.nbytes + self.ring_offsets.nbytes + self.vert_offsets.nbytes
+        for lvl in self.levels.values():
+            n += sum(a.nbytes for a in lvl)
+        return n
+
+
+def _base_res_for_bbox(w_lon: float, h_lat: float) -> int:
+    """Coarsest resolution whose cells are no bigger than the piece bbox
+    (so a handful of cells cover it)."""
+    span = max(w_lon, 2.0 * h_lat, 1e-9)
+    r = int(np.floor(np.log2(360.0 / span)))
+    return int(np.clip(r, 0, cells.MAX_RES))
+
+
+def cover_piece(
+    rings: list[np.ndarray], depth: int = 5, max_cells: int = 4096
+) -> tuple[np.ndarray, np.ndarray]:
+    """Compute the cell covering of one (clipped) piece.
+
+    Returns (cell_ids uint64, interior bool). Interior cells may sit at any
+    resolution in [base, base+depth]; boundary cells are at base+depth.
+    Classification: a cell with no boundary segment through it is uniformly
+    inside or outside (decided by a center-point PIP); a cell the boundary
+    crosses is subdivided until the depth budget, then kept as a boundary
+    cell. This is the engine replacement for the reference's O3
+    (smallest-area-first + lazy scan) — interior hits resolve O(1) at probe
+    time, exact ray-casting only on boundary cells (north_star).
+    """
+    lo_lon, lo_lat, hi_lon, hi_lat = geom.rings_bbox(rings)
+    base = _base_res_for_bbox(hi_lon - lo_lon, hi_lat - lo_lat)
+    max_res = min(base + depth, cells.MAX_RES)
+    seg_a, seg_b = geom._segments(rings)
+
+    out_cells: list[int] = []
+    out_interior: list[bool] = []
+    frontier = cells.cells_covering_bbox(lo_lon, lo_lat, hi_lon, hi_lat, base).tolist()
+
+    while frontier:
+        next_frontier: list[int] = []
+        for c in frontier:
+            b = cells.cell_bounds(np.uint64(c))[0]
+            # prune: cell rect vs piece bbox
+            if b[2] < lo_lon or b[0] > hi_lon or b[3] < lo_lat or b[1] > hi_lat:
+                continue
+            crossed = geom.segments_intersect_box(seg_a, seg_b, b[0], b[1], b[2], b[3])
+            if not crossed:
+                center = np.array([[(b[0] + b[2]) / 2.0, (b[1] + b[3]) / 2.0]])
+                if geom.contains_inclusive(center, rings)[0]:
+                    out_cells.append(int(c))
+                    out_interior.append(True)
+                continue
+            res = int(np.uint64(c) >> np.uint64(58))
+            if res >= max_res or len(out_cells) + len(next_frontier) >= max_cells:
+                out_cells.append(int(c))
+                out_interior.append(False)
+            else:
+                next_frontier.extend(cells.cell_children(c).tolist())
+        frontier = next_frontier
+
+    return (
+        np.array(out_cells, dtype=np.uint64),
+        np.array(out_interior, dtype=bool),
+    )
+
+
+def compile_index(
+    pieces: list[ZonePiece],
+    min_lat: float,
+    min_lon: float,
+    max_lat: float,
+    max_lon: float,
+    world_version: str,
+    depth: int = 5,
+    cover_entries: dict[int, tuple[np.ndarray, np.ndarray]] | None = None,
+    precomputed_areas: dict[int, float] | None = None,
+) -> CompiledIndex:
+    """Driver-side compile, mirroring TimeZoneMap.kt:156-243 step order.
+
+    ``cover_entries`` (ordinal -> (cell_ids, interior)) lets the
+    distributed compile path (applyInPandas over zone pieces) inject
+    pre-computed coverings; when None, coverings are computed inline.
+
+    ``precomputed_areas`` (ordinal -> deg^2) overrides the area sort key —
+    needed when reloading an artifact whose geometry is already clipped:
+    the reference sorts by the PRE-clip area (TimeZoneMap.kt:25-28), which
+    post-clip rings can no longer reproduce.
+    """
+    validate_region(min_lat, min_lon, max_lat, max_lon)
+
+    def sort_area(p: ZonePiece) -> float:
+        if precomputed_areas is not None and p.ordinal in precomputed_areas:
+            return precomputed_areas[p.ordinal]
+        return p.area2d
+
+    # I5/I10: bbox prune (inclusive intersect, like Envelope2D.isIntersecting)
+    kept = []
+    for p in pieces:
+        lo_lon, lo_lat, hi_lon, hi_lat = p.bbox
+        if hi_lat < min_lat or lo_lat > max_lat or hi_lon < min_lon or lo_lon > max_lon:
+            continue
+        kept.append(p)
+
+    # I11: sort by PRE-CLIP planar area, stable ordinal tie-break
+    kept.sort(key=lambda p: (sort_area(p), p.ordinal))
+
+    # I12: clip to region (pass through when fully contained)
+    clipped: list[tuple[ZonePiece, list[np.ndarray]]] = []
+    for p in kept:
+        lo_lon, lo_lat, hi_lon, hi_lat = p.bbox
+        if lo_lat >= min_lat and hi_lat <= max_lat and lo_lon >= min_lon and hi_lon <= max_lon:
+            rings = p.rings
+        else:
+            rings = geom.clip_rings_to_box(p.rings, min_lon, min_lat, max_lon, max_lat)
+            if not rings or geom.polygon_area2d(rings) <= 0:
+                continue  # reference drops empty clip results (pointCount>0)
+        clipped.append((p, rings))
+
+    # flatten geometry to CSR
+    zone_ids, polygon_ids, areas = [], [], []
+    ring_offsets = [0]
+    vert_offsets = [0]
+    verts_list = []
+    per_level: dict[int, dict[str, list]] = {}
+
+    for rank, (p, rings) in enumerate(clipped):
+        zone_ids.append(p.zone_id)
+        polygon_ids.append(p.polygon_id)
+        areas.append(sort_area(p))  # PRE-clip area: the documented sort key
+        for r in rings:
+            verts_list.append(r)
+            vert_offsets.append(vert_offsets[-1] + len(r))
+        ring_offsets.append(ring_offsets[-1] + len(rings))
+
+        if cover_entries is not None and p.ordinal in cover_entries:
+            cids, interior = cover_entries[p.ordinal]
+        else:
+            cids, interior = cover_piece(rings, depth=depth)
+        res = cells.cell_res(cids)
+        for r_level in np.unique(res):
+            m = res == r_level
+            lvl = per_level.setdefault(
+                int(r_level), {"cell": [], "rank": [], "interior": []}
+            )
+            lvl["cell"].append(cids[m])
+            lvl["rank"].append(np.full(int(m.sum()), rank, dtype=np.int32))
+            lvl["interior"].append(interior[m])
+
+    levels = {}
+    for r_level, d in per_level.items():
+        cell = np.concatenate(d["cell"])
+        rank = np.concatenate(d["rank"])
+        interior = np.concatenate(d["interior"])
+        # group entries by cell id; within a cell keep rank-ascending order
+        order = np.lexsort((rank, cell))
+        cell, rank, interior = cell[order], rank[order], interior[order]
+        uniq, start = np.unique(cell, return_index=True)
+        offsets = np.append(start, len(cell)).astype(np.int64)
+        levels[r_level] = (uniq, offsets, rank, interior)
+
+    return CompiledIndex(
+        version=f"{INDEX_FORMAT_VERSION}:{world_version}",
+        init_region=(float(min_lat), float(min_lon), float(max_lat), float(max_lon)),
+        zone_ids=zone_ids,
+        polygon_ids=np.array(polygon_ids, dtype=np.int32),
+        areas=np.array(areas, dtype=np.float64),
+        ring_offsets=np.array(ring_offsets, dtype=np.int64),
+        vert_offsets=np.array(vert_offsets, dtype=np.int64),
+        verts=np.vstack(verts_list) if verts_list else np.zeros((0, 2)),
+        levels=levels,
+    )
+
+
+# --- durable artifact (Iceberg-style: data + JSON metadata sidecar) ---------
+
+
+def save_index_meta(path: str, idx: CompiledIndex, extra: dict | None = None) -> None:
+    meta = {
+        "version": idx.version,
+        "init_region": list(idx.init_region),
+        "n_pieces": idx.n_pieces,
+        "levels": sorted(int(k) for k in idx.levels),
+        **(extra or {}),
+    }
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "_index_meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+
+
+def check_index_version(meta_version: str) -> None:
+    """Reference I3 (TimeZoneMap.kt:175-178): fail fast before any job is
+    submitted when the artifact format doesn't match the engine."""
+    fmt = meta_version.split(":")[0] if meta_version else ""
+    if fmt != INDEX_FORMAT_VERSION:
+        raise ValueError(
+            f"Incompatible map archive. Detected version is '{meta_version}' "
+            f"required version '{INDEX_FORMAT_VERSION}:*'"
+        )
+
+
+def load_index_meta(path: str) -> dict:
+    meta_file = os.path.join(path, "_index_meta.json")
+    if not os.path.exists(meta_file):
+        raise ValueError(
+            "Incompatible map archive. Detected version is '<missing>' "
+            f"required version '{INDEX_FORMAT_VERSION}:*'"
+        )
+    with open(meta_file) as f:
+        meta = json.load(f)
+    check_index_version(meta.get("version", ""))
+    return meta

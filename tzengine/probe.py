@@ -1,0 +1,221 @@
+"""Vectorized probe kernels over a CompiledIndex (pure numpy).
+
+These are the batch kernels the Spark pandas UDFs call (engine.py); they
+are Spark-free so the same code is unit-testable and runs inside Arrow
+batches on executors. Semantics = reference point query (TimeZoneMap.kt:
+56-85): init-region guard (Q3), boundary-inclusive containment (Q4),
+smallest-area-first ordering (Q1/Q2), plus the distance kernel (Q5) and
+the kNN fallback ordering (north_star).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import cells, geom
+from .index import CompiledIndex
+
+OUTSIDE_MSG = "Requested point is outside the initialized area"
+
+
+def region_guard(idx: CompiledIndex, lats: np.ndarray, lons: np.ndarray) -> np.ndarray:
+    """Inclusive containment in the initialized region (TimeZoneMap.kt:82;
+    envelope border inclusive, one ULP outside rejected —
+    TimeZoneMapTest.java:361-373). Returns bool mask of valid points."""
+    min_lat, min_lon, max_lat, max_lon = idx.init_region
+    return (
+        (lats >= min_lat) & (lats <= max_lat) & (lons >= min_lon) & (lons <= max_lon)
+    )
+
+
+def probe_ranks(
+    idx: CompiledIndex,
+    lats: np.ndarray,
+    lons: np.ndarray,
+    mode: str = "strict",
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Find all containing pieces per point.
+
+    Returns (offsets, ranks, valid):
+      offsets int64 (N+1,), ranks int32 — CSR of piece ranks per point,
+      rank-ascending (= area-ascending, the reference overlap order);
+      valid bool (N,) — False for out-of-region points in pipeline mode.
+
+    strict mode raises ValueError on any out-of-region point (Q3 guard);
+    pipeline mode marks them invalid and continues (per-partition violation
+    accounting happens in the engine layer).
+    """
+    lats = np.asarray(lats, dtype=np.float64)
+    lons = np.asarray(lons, dtype=np.float64)
+    n = len(lats)
+
+    valid = region_guard(idx, lats, lons)
+    if mode == "strict":
+        if not np.all(valid):
+            raise ValueError(OUTSIDE_MSG)
+    elif mode != "pipeline":
+        raise ValueError(f"unknown mode: {mode}")
+
+    pt_idx_parts: list[np.ndarray] = []
+    rank_parts: list[np.ndarray] = []
+    interior_parts: list[np.ndarray] = []
+
+    vi = np.nonzero(valid)[0]
+    if len(vi):
+        vlats, vlons = lats[vi], lons[vi]
+        for res, (uniq, offsets, ranks, interior) in idx.levels.items():
+            pc = cells.cell_of(vlons, vlats, res)
+            pos = np.searchsorted(uniq, pc)
+            pos_c = np.minimum(pos, len(uniq) - 1)
+            hit = (len(uniq) > 0) & (uniq[pos_c] == pc)
+            hit_pts = vi[hit]
+            hp = pos_c[hit]
+            starts, ends = offsets[hp], offsets[hp + 1]
+            counts = ends - starts
+            if counts.sum() == 0:
+                continue
+            # CSR expand: entry index for every (point, entry) pair
+            rep_pts = np.repeat(hit_pts, counts)
+            entry_idx = np.concatenate(
+                [np.arange(s, e) for s, e in zip(starts, ends)]
+            )
+            pt_idx_parts.append(rep_pts)
+            rank_parts.append(ranks[entry_idx])
+            interior_parts.append(interior[entry_idx])
+
+    if pt_idx_parts:
+        pt_idx = np.concatenate(pt_idx_parts)
+        cand_rank = np.concatenate(rank_parts)
+        cand_int = np.concatenate(interior_parts)
+    else:
+        pt_idx = np.zeros(0, dtype=np.int64)
+        cand_rank = np.zeros(0, dtype=np.int32)
+        cand_int = np.zeros(0, dtype=bool)
+
+    # Boundary candidates need the exact inclusive PIP. Group by piece so
+    # each piece's rings are tested against all its candidate points at
+    # once (vectorized N_pts x N_segs per piece).
+    confirmed = cand_int.copy()
+    btest = ~cand_int
+    if np.any(btest):
+        b_ranks = cand_rank[btest]
+        b_pts = pt_idx[btest]
+        b_confirm = np.zeros(len(b_ranks), dtype=bool)
+        order = np.argsort(b_ranks, kind="stable")
+        sorted_ranks = b_ranks[order]
+        bounds = np.searchsorted(
+            sorted_ranks, np.arange(idx.n_pieces + 1), side="left"
+        )
+        for rank in np.unique(sorted_ranks):
+            s, e = bounds[rank], bounds[rank + 1]
+            sel = order[s:e]
+            pts = np.stack([lons[b_pts[sel]], lats[b_pts[sel]]], axis=1)
+            rings = idx.piece_rings(int(rank))
+            b_confirm[sel] = geom.contains_inclusive(pts, rings)
+        confirmed[btest] = b_confirm
+
+    pt_idx = pt_idx[confirmed]
+    cand_rank = cand_rank[confirmed]
+
+    # assemble CSR sorted by (point, rank) — rank order IS area order
+    order = np.lexsort((cand_rank, pt_idx))
+    pt_idx, cand_rank = pt_idx[order], cand_rank[order]
+    counts = np.bincount(pt_idx, minlength=n)
+    offsets_out = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets_out[1:])
+    return offsets_out, cand_rank.astype(np.int32), valid
+
+
+def ranks_to_tzids(
+    idx: CompiledIndex, offsets: np.ndarray, ranks: np.ndarray, valid: np.ndarray
+) -> tuple[list, list]:
+    """CSR ranks → (tzid first-match list, tzids all-matches list), None /
+    empty list for invalid or uncovered points (Q1 note: with a
+    full-coverage zone set every valid point matches)."""
+    zone_ids = idx.zone_ids
+    tzid = []
+    tzids = []
+    n = len(offsets) - 1
+    for i in range(n):
+        if not valid[i]:
+            tzid.append(None)
+            tzids.append(None)
+            continue
+        rs = ranks[offsets[i] : offsets[i + 1]]
+        names = [zone_ids[r] for r in rs]
+        tzids.append(names)
+        tzid.append(names[0] if names else None)
+    return tzid, tzids
+
+
+def distance_from_boundary_batch(
+    idx: CompiledIndex,
+    zone_ids: list,
+    lats: np.ndarray,
+    lons: np.ndarray,
+    mode: str = "strict",
+) -> np.ndarray:
+    """Q5 (TimeZone.kt:41-47): for each (zone_id, point), distance in
+    meters to the planar-nearest coordinate on the boundary of the piece
+    of ``zone_id`` that contains the point (clip edges count). Outside
+    points: ValueError in strict mode (reference message), NaN in
+    pipeline mode."""
+    lats = np.asarray(lats, dtype=np.float64)
+    lons = np.asarray(lons, dtype=np.float64)
+    out = np.full(len(lats), np.nan)
+
+    # piece ranks per zone id, rank-ascending
+    zone_to_ranks: dict[str, list[int]] = {}
+    for rank, zid in enumerate(idx.zone_ids):
+        zone_to_ranks.setdefault(zid, []).append(rank)
+
+    for i in range(len(lats)):
+        zid = zone_ids[i]
+        pt = np.array([[lons[i], lats[i]]])
+        found = False
+        for rank in zone_to_ranks.get(zid, []):
+            rings = idx.piece_rings(rank)
+            if geom.contains_inclusive(pt, rings)[0]:
+                out[i] = geom.distance_from_boundary(pt, rings)[0]
+                found = True
+                break
+        if not found and mode == "strict":
+            raise ValueError("Location must be inside the time zone")
+    return out
+
+
+def knn_zones_batch(
+    idx: CompiledIndex, lats: np.ndarray, lons: np.ndarray, k: int
+) -> list[list[str]]:
+    """kNN fallback ordering (north_star): zones ordered by boundary
+    distance; pieces containing the point have distance 0 and tie-break by
+    area rank, so for covered points the head of the list agrees with
+    getOverlappingTimeZones. Dedupes zone ids (nearest piece wins)."""
+    lats = np.asarray(lats, dtype=np.float64)
+    lons = np.asarray(lons, dtype=np.float64)
+    pts = np.stack([lons, lats], axis=1)
+    n = len(lats)
+
+    # distance of every point to every piece boundary; 0 when inside
+    dists = np.zeros((n, idx.n_pieces))
+    for rank in range(idx.n_pieces):
+        rings = idx.piece_rings(rank)
+        inside = geom.contains_inclusive(pts, rings)
+        d = geom.distance_from_boundary(pts, rings)
+        dists[:, rank] = np.where(inside, 0.0, d)
+
+    out = []
+    ranks = np.arange(idx.n_pieces)
+    for i in range(n):
+        order = np.lexsort((ranks, dists[i]))
+        seen = set()
+        names = []
+        for r in order:
+            zid = idx.zone_ids[r]
+            if zid not in seen:
+                seen.add(zid)
+                names.append(zid)
+            if len(names) >= k:
+                break
+        out.append(names)
+    return out
