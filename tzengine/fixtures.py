@@ -1,0 +1,111 @@
+"""geo_images fact-table generator (FIXTURES.md T1).
+
+Schema = BASELINE.json input_hint columns + the geotag probe key:
+(image_id, bytes, w, h, fmt, caption, phash, lat, lon).
+
+Generated DISTRIBUTED (spark.range → mapInPandas) and every value is a
+pure function of the row index i (seed [42, i]) — independent of
+partitioning, so two runs / two cluster sizes / a resumed run produce
+bit-identical tables (north_star determinism).
+
+Point-placement mix over the synthetic zone world (lat, lon ∈ [0,10]):
+  10% exactly on zone boundaries/corners, 5% inside the SquareIsland
+  hole, 5% in the Small∩Big overlap, 30% concentrated in 2 hot cells
+  (dense-urban-tile stand-in → skew for the salting tests), rest uniform.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import images
+
+GEO_IMAGES_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long, lat double, lon double"
+)
+
+_SIZES = (16, 32, 64)
+
+# exact-boundary anchor segments (lat0, lon0, lat1, lon1) — horizontal or
+# vertical zone edges, so any point on them is exactly on a boundary
+_BOUNDARY_SEGMENTS = [
+    (4.0, 4.0, 4.0, 5.0),  # Small bottom edge
+    (5.0, 4.0, 5.0, 5.0),  # Small top edge
+    (3.0, 3.0, 6.0, 3.0),  # Big left edge
+    (1.0, 1.0, 1.0, 2.0),  # SquareIsland bottom
+    (8.0, 6.0, 9.0, 6.0),  # Host left edge
+    (8.2, 6.2, 8.2, 6.4),  # Enclave bottom (float32 grid)
+]
+_CORNERS = [(4.0, 4.0), (5.0, 5.0), (1.0, 1.0), (3.0, 3.0), (8.0, 6.0), (10.0, 10.0)]
+_HOT_CELLS = [(2.5, 7.5), (6.5, 2.5)]  # skewed "urban" tiles
+
+
+def row_point(i: int) -> tuple[float, float]:
+    """Deterministic (lat, lon) for row i (pure function — no state)."""
+    rng = np.random.default_rng([42, i])
+    bucket = i % 100
+    if bucket < 10:  # exact boundary
+        if bucket < 4:
+            lat, lon = _CORNERS[i % len(_CORNERS)]
+            return float(lat), float(lon)
+        lat0, lon0, lat1, lon1 = _BOUNDARY_SEGMENTS[i % len(_BOUNDARY_SEGMENTS)]
+        t = rng.uniform()
+        lat = lat0 + t * (lat1 - lat0)
+        lon = lon0 + t * (lon1 - lon0)
+        # snap the constant axis exactly (float32 grid values)
+        return float(np.float32(lat) if lat0 == lat1 else lat), float(
+            np.float32(lon) if lon0 == lon1 else lon
+        )
+    if bucket < 15:  # inside the hole (right of the island)
+        return float(rng.uniform(1.51, 1.89)), float(rng.uniform(1.32, 1.49))
+    if bucket < 20:  # overlap region (Small ⊂ Big)
+        return float(rng.uniform(4.01, 4.99)), float(rng.uniform(4.01, 4.99))
+    if bucket < 50:  # hot cells (30%)
+        cy, cx = _HOT_CELLS[i % 2]
+        return float(cy + rng.uniform(-0.01, 0.01)), float(cx + rng.uniform(-0.01, 0.01))
+    return float(rng.uniform(0.0, 10.0)), float(rng.uniform(0.0, 10.0))
+
+
+def row_record(i: int, with_bytes: bool = True) -> tuple:
+    lat, lon = row_point(i)
+    w = _SIZES[i % len(_SIZES)]
+    h = _SIZES[(i // 3) % len(_SIZES)]
+    fmt = images.FORMATS[i % len(images.FORMATS)]
+    caption = f"caption for img{i:012d} at ({lat:.6f},{lon:.6f})"
+    if with_bytes:
+        img = images.synth_image(i, w, h)
+        data = images.encode(img, fmt)
+        ph = images.phash64(img)
+    else:
+        data, ph = b"", 0
+    return (f"img{i:012d}", data, w, h, fmt, caption, ph, lat, lon)
+
+
+def geo_images_df(
+    spark: SparkSession, n: int, with_bytes: bool = True, partitions: int | None = None
+) -> DataFrame:
+    """Distributed generation: the work (image synthesis + encode) runs on
+    executors; the driver only plans. Deterministic w.r.t. partitioning."""
+    from .session import ensure_shipped
+
+    ensure_shipped(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [row_record(int(i), with_bytes) for i in pdf["id"]]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "bytes", "w", "h", "fmt",
+                    "caption", "phash", "lat", "lon",
+                ],
+            )
+
+    rng_df = spark.range(0, n, numPartitions=partitions or spark.sparkContext.defaultParallelism)
+    return rng_df.mapInPandas(gen, GEO_IMAGES_SCHEMA)

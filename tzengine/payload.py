@@ -1,0 +1,100 @@
+"""Payload-fidelity verification ops (input_hint per-row invariant).
+
+``verify_payload`` decodes each row's image bytes and checks, per row:
+  - decoded-pixel fidelity vs the expected image: exact for lossless
+    formats, PSNR >= ``psnr_min`` (default 40 dB) for lossy;
+  - caption equality vs the expected caption;
+  - phash stability (hash of decoded pixels within ``phash_maxdist`` bits
+    of the stored phash — 0 for lossless).
+
+Everything runs inside one Arrow-batched pandas UDF (no per-row Python at
+the DataFrame level). The "expected" reference values are recomputed from
+the deterministic row synthesis (fixtures.row_record), which is the
+sandbox stand-in for the upstream source of truth.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import images
+from .fixtures import row_record
+
+VERIFY_SCHEMA = T.StructType(
+    [
+        T.StructField("pixels_ok", T.BooleanType()),
+        T.StructField("psnr_db", T.DoubleType()),
+        T.StructField("caption_ok", T.BooleanType()),
+        T.StructField("phash_dist", T.IntegerType()),
+    ]
+)
+
+
+def verify_payload(
+    df: DataFrame,
+    psnr_min: float = 40.0,
+    phash_maxdist: int = 2,
+) -> DataFrame:
+    @F.pandas_udf(VERIFY_SCHEMA)
+    def _verify(
+        image_id: pd.Series,
+        data: pd.Series,
+        w: pd.Series,
+        h: pd.Series,
+        fmt: pd.Series,
+        caption: pd.Series,
+        phash: pd.Series,
+    ) -> pd.DataFrame:
+        n = len(image_id)
+        pixels_ok = np.zeros(n, dtype=bool)
+        psnr_db = np.zeros(n, dtype=np.float64)
+        caption_ok = np.zeros(n, dtype=bool)
+        phash_dist = np.zeros(n, dtype=np.int32)
+        for j in range(n):
+            i = int(image_id.iloc[j][3:])
+            expected = images.synth_image(i, int(w.iloc[j]), int(h.iloc[j]))
+            got = images.decode(
+                bytes(data.iloc[j]), fmt.iloc[j], int(w.iloc[j]), int(h.iloc[j])
+            )
+            p = images.psnr(expected, got)
+            psnr_db[j] = p if np.isfinite(p) else 999.0
+            if fmt.iloc[j] in images.LOSSLESS:
+                pixels_ok[j] = bool(np.array_equal(expected, got))
+            else:
+                pixels_ok[j] = p >= psnr_min
+            exp_caption = row_record(i, with_bytes=False)[5]
+            caption_ok[j] = caption.iloc[j] == exp_caption
+            phash_dist[j] = images.hamming64(
+                images.phash64(got), int(phash.iloc[j])
+            )
+        return pd.DataFrame(
+            {
+                "pixels_ok": pixels_ok,
+                "psnr_db": psnr_db,
+                "caption_ok": caption_ok,
+                "phash_dist": phash_dist,
+            }
+        )
+
+    out = df.withColumn(
+        "__v",
+        _verify(
+            F.col("image_id"), F.col("bytes"), F.col("w"), F.col("h"),
+            F.col("fmt"), F.col("caption"), F.col("phash"),
+        ),
+    )
+    return (
+        out.select(
+            "*",
+            "__v.pixels_ok",
+            "__v.psnr_db",
+            "__v.caption_ok",
+            (F.col("__v.phash_dist") <= phash_maxdist).alias("phash_ok"),
+        )
+        .drop("__v")
+    )
