@@ -1,0 +1,215 @@
+"""Training-data pipeline operators: dedup, similarity, text, multimodal,
+skew helpers. Cross-checked against duckdb / numpy where exact."""
+
+import duckdb
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from tzengine.functions import hot_cell_histogram, salted_count, zone_shard_sizes
+from tzengine.pipeline import dedup, multimodal, similarity, text
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, docs):
+    # inject near/exact duplicates deterministically
+    d = docs.limit(20)
+    exact = d.withColumn("doc_id", F.col("doc_id") + 100000)
+    near = (
+        d.withColumn("doc_id", F.col("doc_id") + 200000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" extra tail token")))
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_exact_dedup(docs_with_dups, docs):
+    res = dedup.exact_dedup(docs_with_dups).filter(F.col("n_copies") > 1)
+    rows = res.collect()
+    assert len(rows) == 20  # exactly the injected exact copies
+    assert all(r.n_copies == 2 and r.keep_id < 100000 for r in rows)
+
+
+def test_ngram_jaccard_pairs(docs_with_dups):
+    pairs = dedup.ngram_jaccard_pairs(
+        docs_with_dups, threshold=0.8
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    # every exact copy pairs at jaccard 1.0; near copies land >= 0.8
+    for base in range(20):
+        assert any(a == base and b == base + 100000 for a, b in got), base
+    jac = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    exact_pairs = [v for (a, b), v in jac.items() if b - a == 100000 and a < 20]
+    assert all(v == pytest.approx(1.0) for v in exact_pairs)
+
+
+def test_minhash_lsh_recall(docs_with_dups):
+    pairs = dedup.minhash_lsh_pairs(
+        docs_with_dups, num_hashes=32, bands=8, verify_threshold=0.5
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    hit = sum(1 for base in range(20) if (base, base + 100000) in got)
+    assert hit == 20  # identical docs always collide in every band
+    est = {(r.id_a, r.id_b): r.est_jaccard for r in pairs}
+    assert all(
+        est[(b, b + 100000)] == pytest.approx(1.0) for b in range(20)
+        if (b, b + 100000) in est
+    )
+
+
+def test_simhash_pairs(docs_with_dups):
+    pairs = dedup.simhash_pairs(docs_with_dups, max_dist=3).collect()
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    for base in range(20):
+        assert got.get((base, base + 100000)) == 0  # identical → distance 0
+
+
+def test_embedding_neardup(spark, emb):
+    # add exact-duplicate vectors → cosine 1.0 pairs must be found
+    dup = emb.limit(5).withColumn("vec_id", F.col("vec_id") + 1000)
+    both = emb.unionByName(dup)
+    pairs = dedup.embedding_neardup_pairs(both, cos_threshold=0.999).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert {(i, i + 1000) for i in range(5)} <= got
+
+
+def test_brute_force_topk_matches_duckdb(spark, emb):
+    queries = (
+        emb.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    got = similarity.brute_force_topk(emb, queries, k=5).collect()
+    con = duckdb.connect()
+    want = con.execute(
+        f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM '{SF}/embeddings.parquet' WHERE vec_id < 3),
+        scored AS (
+          SELECT q.query_id, e.vec_id,
+                 list_cosine_similarity(e.embedding, q.qv) AS cosine,
+                 row_number() OVER (PARTITION BY q.query_id
+                                    ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC,
+                                             e.vec_id) AS rank
+          FROM '{SF}/embeddings.parquet' e, q)
+        SELECT query_id, vec_id, rank FROM scored WHERE rank <= 5
+        ORDER BY query_id, rank
+        """
+    ).fetchall()
+    got_t = sorted((r.query_id, r.rank, r.vec_id) for r in got)
+    want_t = sorted((w[0], w[2], w[1]) for w in want)
+    assert got_t == want_t
+
+
+def test_ivf_topk_recall(spark, emb):
+    queries = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    cents = similarity.deterministic_centroids(emb, 8)
+    exact = similarity.brute_force_topk(emb, queries, k=3).collect()
+    approx = similarity.ivf_topk(emb, queries, cents, k=3, nprobe=4).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    # each query vector is its own exact top-1; IVF must find it (its own
+    # bucket is probed first) and overall recall should be decent
+    recall = np.mean(
+        [len(exact_sets[q] & approx_sets.get(q, set())) / 3 for q in exact_sets]
+    )
+    assert all(q in approx_sets[q] for q in approx_sets)
+    assert recall >= 0.5
+
+
+def test_text_ops(spark, docs):
+    out = text.token_count(docs).collect()
+    for r in out[:50]:
+        assert r.n_tokens == len(r.text.split())
+        assert r.n_tokens_bpe >= r.n_tokens
+    q = text.quality_score(docs).collect()
+    assert all(0.0 <= r.quality_score <= 1.0 for r in q)
+    # word-salad docs: length/wordlen/punct bands pass, stopwords vary
+    assert sum(1 for r in q if r.quality_score >= 0.75) > len(q) * 0.9
+
+    lid = text.lang_id(docs).collect()
+    assert all(r.lang_pred in ("en", "de", "fr", "es", "und") for r in lid)
+    en = spark.createDataFrame(
+        [("the cat sat on the mat and looked at the dog",)], "text string"
+    )
+    assert text.lang_id(en).collect()[0].lang_pred == "en"
+    de = spark.createDataFrame([("der hund und die katze ist ein tier",)], "text string")
+    assert text.lang_id(de).collect()[0].lang_pred == "de"
+
+    fp = text.fingerprint(docs.limit(30)).collect()
+    assert len({r.fingerprint for r in fp}) == 30  # distinct texts → distinct
+    # robust fp is stable under whitespace-only edits
+    ws = docs.limit(30).withColumn("text", F.regexp_replace("text", " ", "  "))
+    fp2 = text.fingerprint(ws).collect()
+    assert [r.fingerprint_min_ngram for r in fp] == [
+        r.fingerprint_min_ngram for r in fp2
+    ]
+
+
+def test_multimodal_image_ops(spark):
+    from tzengine.fixtures import geo_images_df
+    from tzengine import images as imglib
+
+    df = geo_images_df(spark, 30, partitions=2)
+    feats = multimodal.image_features(df).collect()
+    assert len(feats) == 30
+    r0 = [r for r in feats if r.image_id == "img000000000000"][0]
+    img = imglib.synth_image(0, r0.w, r0.h)
+    assert r0.mean_r == pytest.approx(img[..., 0].mean(), abs=1e-6)
+    assert r0.phash_decoded == imglib.phash64(img)
+
+    resized = multimodal.resize_images(df, 8, 8).collect()
+    assert all(r.w == 8 and r.h == 8 for r in resized)
+    dec = imglib.decode(bytes(resized[0].bytes), resized[0].fmt, 8, 8)
+    assert dec.shape == (8, 8, 3)
+
+    # stubs are explicit, not silent
+    audio = spark.createDataFrame([("c0", bytearray(b"xx"))], "clip_id string, bytes binary")
+    with pytest.raises(Exception, match="NotImplementedError|audio decode"):
+        multimodal.audio_features(audio).collect()
+
+
+def test_salted_count_equals_plain(spark, docs):
+    plain = {
+        (r.lang,): r.n
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    salted = {(r.lang,): r.n for r in salted_count(docs, ["lang"]).collect()}
+    assert salted == plain
+    salted2 = {
+        (r.lang,): r.n
+        for r in salted_count(docs, ["lang"], salt_src="doc_id").collect()
+    }
+    assert salted2 == plain
+
+
+def test_hot_cell_histogram(spark):
+    from tzengine.engine import TzEngine
+    from tzengine.fixtures import geo_images_df
+    from tzengine.zones import synthetic_world
+
+    eng = TzEngine.for_everywhere(spark, synthetic_world(), world_version="synth1")
+    assigned = eng.assign_timezones(geo_images_df(spark, 500, with_bytes=False))
+    hist = hot_cell_histogram(assigned, top=5).collect()
+    # 30% of rows sit in 2 hot cells → the top-2 cells dominate
+    assert hist[0].n + hist[1].n >= 0.28 * 500
+    shards = zone_shard_sizes(assigned).collect()
+    assert sum(r.n for r in shards) == 500

@@ -1,0 +1,288 @@
+"""Deduplication operators (exact, n-gram Jaccard, MinHash-LSH, SimHash,
+embedding near-dup).
+
+Design for 100 TB: everything before the final verify step stays JVM-side
+(xxhash64 / explode / groupBy with map-side partial aggregation); candidate
+generation always goes through a bucket equi-join (LSH band or shared
+shingle) so the cross product never materializes; the only Python is a
+vectorized bit-packing UDF for SimHash and the hyperplane projection for
+embedding LSH. Every groupBy key is either high-cardinality (hashes) or
+explicitly salted by the caller via functions.salted_count.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via content-hash groupBy: one surviving (minimum) id
+    per distinct text + the group size. Hash first so the shuffle key is
+    a 64-char digest, not the document body (bytes moved matter at 100 TB)."""
+    return (
+        df.withColumn("content_hash", F.sha2(F.col(text_col), 256))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Add ``shingles: array<string>`` of word n-grams (JVM-side:
+    split + transform + slice, no Python)."""
+    words = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0)))
+    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    return df.withColumn("shingles", shingles)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs.
+
+    Candidate pairs come only from docs sharing >=1 shingle (equi-join on
+    the shingle — a distributed inverted index), then |A∩B| is a count per
+    pair and |A∪B| = |A|+|B|-|A∩B|. All shuffles are on hash-distributed
+    keys; no crossJoin anywhere.
+    """
+    sh = (
+        word_shingles(df.select(id_col, text_col), text_col, n)
+        .select(id_col, F.explode(F.array_distinct("shingles")).alias("shingle"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a")
+    sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """MinHash signatures, fully JVM-side: shingle → xxhash64(seed_i) per
+    permutation i → min per doc. One explode + one groupBy with
+    ``num_hashes`` min() partial aggregates (map-side combine keeps the
+    shuffle tiny: num_hashes longs per doc)."""
+    sh = (
+        word_shingles(df.select(id_col, text_col), text_col, n)
+        .select(id_col, F.explode(F.array_distinct("shingles")).alias("shingle"))
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    verify_threshold: float | None = 0.5,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup candidates.
+
+    num_hashes/bands rows per band are hashed into one bucket key; docs
+    sharing a bucket in ANY band become a candidate pair (classic
+    Broder/LSH construction). ``verify_threshold`` filters pairs by the
+    estimated Jaccard (fraction of agreeing minhashes); None keeps all
+    candidates."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bucket"))
+        )
+    buckets = sig.select(
+        id_col, *[F.col(f"mh_{i}") for i in range(num_hashes)],
+        F.explode(F.array(*band_cols)).alias("bb"),
+    ).select(id_col, *[f"mh_{i}" for i in range(num_hashes)], "bb.band", "bb.bucket")
+
+    a = buckets.alias("a")
+    b2 = buckets.alias("b")
+    pairs = (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            *[
+                (F.col(f"a.mh_{i}") == F.col(f"b.mh_{i}")).cast("int").alias(f"eq_{i}")
+                for i in range(num_hashes)
+            ],
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = sum(F.col(f"eq_{i}") for i in range(num_hashes)) / F.lit(num_hashes)
+    out = pairs.withColumn("est_jaccard", est).select("id_a", "id_b", "est_jaccard")
+    if verify_threshold is not None:
+        out = out.filter(F.col("est_jaccard") >= verify_threshold)
+    return out
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash. Token hashes are computed JVM-side
+    (transform+xxhash64 → array<long>); the bit-vote packing is one
+    vectorized pandas UDF over the hash arrays (numpy popcount-style bit
+    ops, no per-row Python at the plan level)."""
+    tokens = F.split(F.col(text_col), " ")
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+
+    @F.pandas_udf(T.LongType())
+    def _pack(hs: pd.Series) -> pd.Series:
+        out = np.zeros(len(hs), dtype=np.int64)
+        for j, arr in enumerate(hs):
+            if arr is None or len(arr) == 0:
+                continue
+            h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+            bits = (h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+            word = np.uint64(0)
+            for bit in np.nonzero(votes > 0)[0]:
+                word |= np.uint64(1) << np.uint64(bit)
+            out[j] = np.int64(word.astype(np.int64))
+        return pd.Series(out)
+
+    return df.select(id_col, _pack(hashes).alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_dist: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs via 4-block bucketing (pigeonhole: any pair
+    within Hamming distance 3 agrees on at least one of 4 16-bit blocks)
+    — bucket equi-join, then exact popcount filter."""
+    sig = simhash(df, id_col, text_col)
+    blocks = sig.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned("simhash", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "simhash", "b.blk", "b.key")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_dist)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    cos_threshold: float = 0.95,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-dup via random-hyperplane LSH: sign-bit sketch
+    (one vectorized projection per batch) → bucket equi-join on the
+    sketch → exact cosine verify JVM-side (zip_with + aggregate)."""
+    planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
+
+    @F.pandas_udf(T.LongType())
+    def _sketch(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy())
+        bits = (mat @ planes) > 0
+        weights = (1 << np.arange(n_planes, dtype=np.uint64))
+        return pd.Series((bits @ weights).astype(np.int64))
+
+    sk = df.select(id_col, vec_col, _sketch(F.col(vec_col)).alias("sketch"))
+    a, b = sk.alias("a"), sk.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(F.col(f"{side}.{vec_col}"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.sketch") == F.col("b.sketch"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn("cosine", dot / (norm("a") * norm("b")))
+        .filter(F.col("cosine") >= cos_threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "cosine",
+        )
+    )

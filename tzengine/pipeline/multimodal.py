@@ -1,0 +1,127 @@
+"""Multimodal column processing: opaque binary payloads + typed metadata.
+
+Images (raw/png/q6) are REAL here — decode, resize, feature-extract, and
+re-encode run on actual pixels via the pure-numpy codecs in
+tzengine.images. Audio/video have no codecs in this container, so their
+decode steps are explicit NotImplementedError stubs behind the same
+mapInPandas plumbing (schema, batch shape, partitioning all real and
+tested — the contract the prompt asks for).
+
+Everything is mapInPandas over Arrow batches: binary columns never pass
+through per-row Python at the plan level, and batches stream (iterator in
+/ iterator out) so a 100 TB scan never materializes a partition in
+memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from .. import images
+
+FEATURES_SCHEMA = (
+    "image_id string, w int, h int, fmt string, "
+    "mean_r double, mean_g double, mean_b double, std_gray double, "
+    "phash_decoded long"
+)
+
+
+def image_features(df: DataFrame) -> DataFrame:
+    """Decode → per-channel mean, gray std, phash of the decoded pixels."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                img = images.decode(bytes(r.bytes), r.fmt, int(r.w), int(r.h))
+                means = img.reshape(-1, 3).mean(axis=0)
+                out.append(
+                    (
+                        r.image_id, int(r.w), int(r.h), r.fmt,
+                        float(means[0]), float(means[1]), float(means[2]),
+                        float(images.grayscale(img).std()),
+                        images.phash64(img),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "image_id", "w", "h", "fmt",
+                    "mean_r", "mean_g", "mean_b", "std_gray", "phash_decoded",
+                ],
+            )
+
+    return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        op, FEATURES_SCHEMA
+    )
+
+
+RESIZE_SCHEMA = "image_id string, bytes binary, w int, h int, fmt string"
+
+
+def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize of the decoded pixels, re-encoded in the
+    row's own format. Real pixel math (numpy fancy indexing)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ys = None
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                img = images.decode(bytes(r.bytes), r.fmt, int(r.w), int(r.h))
+                yi = (np.arange(out_h) * img.shape[0] // out_h).clip(0, img.shape[0] - 1)
+                xi = (np.arange(out_w) * img.shape[1] // out_w).clip(0, img.shape[1] - 1)
+                resized = img[yi][:, xi]
+                fmt = r.fmt if r.fmt != "q6" else "raw"  # q6 re-encode would re-lose
+                out.append(
+                    (r.image_id, images.encode(resized, fmt), out_w, out_h, fmt)
+                )
+            yield pd.DataFrame(
+                out, columns=["image_id", "bytes", "w", "h", "fmt"]
+            )
+
+    return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        op, RESIZE_SCHEMA
+    )
+
+
+AUDIO_FEATURES_SCHEMA = "clip_id string, duration_s double, rms double"
+FRAME_SAMPLE_SCHEMA = "video_id string, frame_no int, bytes binary"
+
+
+def audio_features(df: DataFrame, id_col: str = "clip_id") -> DataFrame:
+    """STUB: audio decode needs a codec library absent from this
+    container. The mapInPandas plumbing (schema, batching) is real; the
+    decode raises so nothing is silently faked."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                raise NotImplementedError(
+                    "audio decode requires an audio codec library not "
+                    "present in this environment"
+                )
+            yield pd.DataFrame(columns=["clip_id", "duration_s", "rms"])
+
+    return df.mapInPandas(op, AUDIO_FEATURES_SCHEMA)
+
+
+def sample_video_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
+    """STUB: video container parsing needs a codec library absent from
+    this container; same explicit-raise contract as audio_features."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                raise NotImplementedError(
+                    "video decode requires a codec library not present in "
+                    "this environment"
+                )
+            yield pd.DataFrame(columns=["video_id", "frame_no", "bytes"])
+
+    return df.mapInPandas(op, FRAME_SAMPLE_SCHEMA)

@@ -1,0 +1,97 @@
+"""Text-analysis operators: token counting, quality scoring, language ID,
+document fingerprinting. All JVM-side built-ins (codegen'd, no Python) so
+they cost one narrow pass at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language function-word profiles (public common-words lists)
+LANG_PROFILES = {
+    "en": ["the", "a", "and", "of", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "un", "est"],
+    "es": ["el", "la", "los", "y", "de", "un", "es"],
+}
+
+EN_STOPWORDS = LANG_PROFILES["en"] + ["it", "that", "for", "on", "with"]
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + a BPE-ish proxy (word-chunks of <=4 chars —
+    ceil(len/4) pieces per word, a public rule-of-thumb for byte-pair
+    token counts)."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_words = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(
+        F.size(words)
+    )
+    bpe_ish = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("int")
+    )
+    return df.withColumn("n_tokens", n_words).withColumn("n_tokens_bpe", bpe_ish)
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + a composite score in [0,1]:
+    length band, mean word length band, punctuation density, stopword
+    ratio (public C4/Gopher-style filters, simplified)."""
+    txt = F.col(text_col)
+    words = F.split(F.trim(txt), r"\s+")
+    n_words = F.size(words)
+    n_chars = F.length(txt)
+    punct = n_chars - F.length(F.regexp_replace(txt, r"[^\w\s]", ""))
+    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_stop = F.size(F.array_intersect(words, stop_arr))
+    mean_word_len = (n_chars - n_words + 1) / F.greatest(n_words, F.lit(1))
+
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    stop_ratio = n_stop / F.greatest(n_words, F.lit(1))
+    score = (
+        F.when((n_words >= 10) & (n_words <= 100000), 0.25).otherwise(0.0)
+        + F.when((mean_word_len >= 2.0) & (mean_word_len <= 12.0), 0.25).otherwise(0.0)
+        + F.when(punct_ratio <= 0.2, 0.25).otherwise(0.0)
+        + F.when(stop_ratio >= 0.01, 0.25).otherwise(0.0)
+    )
+    return (
+        df.withColumn("n_words", n_words)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn("quality_score", score)
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Function-word-count language ID (n-gram-free heuristic): count
+    profile words per language over the token array, argmax with a fixed
+    language order for deterministic ties; 'und' (undetermined) when no
+    profile word matches."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    scores = []
+    for lang in sorted(LANG_PROFILES):
+        profile = F.array(*[F.lit(w) for w in LANG_PROFILES[lang]])
+        hits = F.size(F.filter(words, lambda w: F.array_contains(profile, w)))
+        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return df.withColumn(
+        "lang_pred",
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", n: int = 5) -> DataFrame:
+    """Document fingerprint: xxhash64 of the normalized text (exact) plus
+    a winnowing-style robust fingerprint = min xxhash64 over character
+    n-gram windows of the normalized text (stable under small edits)."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    exact_fp = F.xxhash64(norm)
+    # char n-grams via substring over an index sequence (JVM-side)
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1))
+    )
+    grams = F.transform(idx, lambda i: norm.substr(i, F.lit(n)))
+    robust_fp = F.array_min(F.transform(grams, lambda g: F.xxhash64(g)))
+    return df.withColumn("fingerprint", exact_fp).withColumn(
+        "fingerprint_min_ngram", robust_fp
+    )
