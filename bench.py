@@ -1,0 +1,168 @@
+"""Benchmark harness.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32) and prints
+ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ...,
+     "assign_rows_per_sec": ..., "scaling": {...}}
+
+The scaling block is the sandbox proxy for the north rule's two-cluster
+criterion: the SAME timezone-assignment job on the SAME input at
+local[N/4] and local[N] (default 8 vs 32 cores), reporting throughput at
+both and efficiency = T(N) / (4 * T(N/4)).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def build_session(cores: int) -> SparkSession:
+    from tzengine.session import get_spark
+
+    return get_spark(
+        f"tzengine-bench-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=max(2, cores),
+        extra_conf={
+            "spark.driver.memory": "48g",
+            # 128k-row Arrow batches + one partition per core measured
+            # best on the probe path (see BASELINE.md scaling study)
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "131072",
+        },
+    )
+
+
+REPLICATE = 10  # points per lineitem row — amortizes fixed per-job costs
+
+
+def probe_points(spark: SparkSession, sf_dir: str):
+    """Deterministic probe table derived from lineitem (the largest
+    testdata table), REPLICATE points per row."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.select("l_orderkey", "l_linenumber")
+        .withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(REPLICATE - 1))))
+        .select(
+            (((F.col("l_orderkey") * 10 + F.col("k")) % 1987) / 200.0).alias("lat"),
+            (
+                ((F.col("l_orderkey") * 7 + F.col("l_linenumber") + F.col("k") * 131)
+                 % 1993) / 200.0
+            ).alias("lon"),
+        )
+    )
+
+
+def timed(fn):
+    t0 = time.time()
+    n = fn()
+    return time.time() - t0, n
+
+
+def assign_job(spark, sf_dir, cores):
+    """The headline job: broadcast-index timezone assignment over every
+    derived point, counted per zone (forces full evaluation)."""
+    from tzengine.engine import TzEngine
+    from tzengine.zones import synthetic_world
+
+    eng = TzEngine.for_everywhere(spark, synthetic_world(), world_version="synth1")
+    pts = probe_points(spark, sf_dir).repartition(cores).cache()
+    n_rows = pts.count()  # materialize outside the timed region
+
+    out = eng.assign_timezones(pts, mode="strict")
+
+    def run():
+        return out.groupBy("tzid").count().collect()
+
+    run()  # warm-up: plan compile + JIT + python worker pool spin-up
+    best = min(timed(run)[0] for _ in range(5))
+    pts.unpersist()
+    return best, n_rows
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    queries: dict[str, float] = {}
+
+    # --- scaling proxy: same job at N and 4N cores (north_rule). Two
+    # pairs are reported: (2, 8) — below the single-host DRAM ceiling,
+    # the regime that models adding cluster nodes (each node brings its
+    # own memory bus) — and (cores/4, cores) on the same box, which the
+    # shared bus caps (kernel-only multiprocessing shows the same cap;
+    # see BASELINE.md).
+    ladder = sorted({2, 8, max(2, cores // 4), cores})
+    thr = {}
+    n_rows = 0
+    el_high = None
+    for c in ladder:
+        s = build_session(c)
+        el, n_rows = assign_job(s, sf_dir, c)
+        thr[c] = n_rows / el
+        if c == cores:
+            el_high = el
+        s.stop()
+
+    spark = build_session(cores)
+    queries["assign_geo"] = round(el_high, 3)
+    thr_low = thr.get(max(2, cores // 4))
+    thr_high = thr[cores]
+    efficiency = thr_high / (4.0 * thr_low)
+    eff_2_8 = thr[8] / (4.0 * thr[2]) if 2 in thr and 8 in thr else None
+
+    # --- other headline queries at full parallelism -----------------------
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for name in [
+        "tpch_q1",
+        "topk_per_group",
+        "bbox_agg",
+        "pip_assign_rect",
+        "dedup_exact",
+        "minhash_lsh",
+        "ann_topk",
+        "explode_tokens",
+    ]:
+        fn = qs[name]
+        fn(spark, sf_dir).count()  # warm-up/plan compile
+        el, _ = timed(lambda f=fn: f(spark, sf_dir).count())
+        queries[name] = round(el, 3)
+
+    total = round(sum(queries.values()), 3)
+    result = {
+        "metric": "timezone-assignment throughput + headline query wall",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "rows_assigned": n_rows,
+        "assign_rows_per_sec": round(thr_high),
+        "scaling": {
+            "ladder_rows_per_sec": {str(c): round(v) for c, v in thr.items()},
+            "cores_low": max(2, cores // 4),
+            "cores_high": cores,
+            "rows_per_sec_low": round(thr_low),
+            "rows_per_sec_high": round(thr_high),
+            "efficiency_low_to_high": round(efficiency, 3),
+            "efficiency_2_to_8": round(eff_2_8, 3) if eff_2_8 else None,
+        },
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

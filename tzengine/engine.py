@@ -232,39 +232,80 @@ class TzEngine:
         area-ascending, Q2), cell_id (probe-res tile), zone_shard
         (deterministic output shard). No shuffle: the index is broadcast,
         the probe is a narrow map over Arrow batches."""
+        import pyarrow as pa
+
         bc = self._bc
 
-        @F.pandas_udf(ASSIGN_SCHEMA)
-        def _assign(lat: pd.Series, lon: pd.Series) -> pd.DataFrame:
+        probe_schema = T.StructType(
+            [
+                T.StructField("valid", T.BooleanType()),
+                T.StructField("first_rank", T.IntegerType()),
+                T.StructField("ranks", T.ArrayType(T.IntegerType())),
+                T.StructField("cell_id", T.LongType()),
+            ]
+        )
+
+        @F.pandas_udf(probe_schema)
+        def _probe(lat: pd.Series, lon: pd.Series) -> pd.DataFrame:
+            # Arrow-native fast path: only ints cross the Python boundary
+            # (first_rank, rank list, cell id); zone-name strings are
+            # attached JVM-side. No per-row Python.
             idx = bc.value
             lats = lat.to_numpy(dtype=np.float64)
             lons = lon.to_numpy(dtype=np.float64)
-            offsets, ranks, valid = probemod.probe_ranks(idx, lats, lons, mode=mode)
-            tzid, tzids = probemod.ranks_to_tzids(idx, offsets, ranks, valid)
+            valid, first_arr, list_arr = probemod.probe_arrow(
+                idx, lats, lons, mode=mode
+            )
             safe_lats = np.where(valid, lats, 0.0)
             safe_lons = np.where(valid, lons, 0.0)
             cell = cellmod.cell_of(safe_lons, safe_lats, probe_res).astype(np.int64)
-            shard = (_splitmix64(cell.astype(np.uint64)) % np.uint64(n_shards)).astype(
-                np.int32
-            )
-            cell_out: object = cell
-            shard_out: object = shard
-            if not valid.all():
-                # invalid (out-of-region / NaN) rows get null cell/shard
-                cell_out = np.where(valid, cell.astype(object), None)
-                shard_out = np.where(valid, shard.astype(object), None)
             return pd.DataFrame(
                 {
-                    "tzid": tzid,
-                    "tzids": tzids,
-                    "cell_id": cell_out,
-                    "zone_shard": shard_out,
+                    "valid": pd.Series(
+                        pa.array(valid), dtype=pd.ArrowDtype(pa.bool_())
+                    ),
+                    "first_rank": pd.Series(
+                        first_arr, dtype=pd.ArrowDtype(pa.int32())
+                    ),
+                    "ranks": pd.Series(
+                        list_arr, dtype=pd.ArrowDtype(pa.list_(pa.int32()))
+                    ),
+                    "cell_id": pd.Series(
+                        pa.array(cell), dtype=pd.ArrowDtype(pa.int64())
+                    ),
                 }
             )
 
-        res = df.withColumn("__tz", _assign(F.col(lat_col), F.col(lon_col)))
-        return res.select("*", "__tz.tzid", "__tz.tzids", "__tz.cell_id", "__tz.zone_shard").drop(
-            "__tz"
+        # JVM-side rank -> zone-name mapping (element_at over a literal
+        # array; the zone list is broadcast-small by construction) and
+        # deterministic shard assignment (xxhash64 of the cell id).
+        # Invalid rows (out-of-region / NaN, pipeline mode) carry sentinel
+        # values from Python and are nulled here.
+        zone_lit = F.array(*[F.lit(z) for z in self.idx.zone_ids])
+        valid_c = F.col("__tz.valid")
+        res = df.withColumn("__tz", _probe(F.col(lat_col), F.col(lon_col)))
+        return (
+            res.select(
+                "*",
+                F.when(
+                    valid_c & (F.col("__tz.first_rank") >= 0),
+                    F.element_at(zone_lit, F.col("__tz.first_rank") + 1),
+                ).alias("tzid"),
+                F.when(
+                    valid_c,
+                    F.transform(
+                        F.col("__tz.ranks"), lambda r: F.element_at(zone_lit, r + 1)
+                    ),
+                ).alias("tzids"),
+                F.when(valid_c, F.col("__tz.cell_id")).alias("cell_id"),
+                F.when(
+                    valid_c,
+                    F.pmod(F.xxhash64(F.col("__tz.cell_id")), F.lit(n_shards)).cast(
+                        "int"
+                    ),
+                ).alias("zone_shard"),
+            )
+            .drop("__tz")
         )
 
     def distance_from_boundary(

@@ -63,8 +63,12 @@ def probe_ranks(
     vi = np.nonzero(valid)[0]
     if len(vi):
         vlats, vlons = lats[vi], lons[vi]
+        # one Morton encode at the finest level; coarser levels are pure
+        # bit-shifts (cell_ancestor_at) — the encode is ~half the kernel
+        max_res = max(idx.levels) if idx.levels else 0
+        base_cell = cells.cell_of(vlons, vlats, max_res)
         for res, (uniq, offsets, ranks, interior) in idx.levels.items():
-            pc = cells.cell_of(vlons, vlats, res)
+            pc = cells.cell_ancestor_at(base_cell, res)
             pos = np.searchsorted(uniq, pc)
             pos_c = np.minimum(pos, len(uniq) - 1)
             hit = (len(uniq) > 0) & (uniq[pos_c] == pc)
@@ -72,13 +76,14 @@ def probe_ranks(
             hp = pos_c[hit]
             starts, ends = offsets[hp], offsets[hp + 1]
             counts = ends - starts
-            if counts.sum() == 0:
+            total = int(counts.sum())
+            if total == 0:
                 continue
-            # CSR expand: entry index for every (point, entry) pair
+            # CSR expand, fully vectorized: for every (point, entry) pair,
+            # entry_idx = start_of_run + position_within_run
             rep_pts = np.repeat(hit_pts, counts)
-            entry_idx = np.concatenate(
-                [np.arange(s, e) for s, e in zip(starts, ends)]
-            )
+            run_heads = np.repeat(np.cumsum(counts) - counts, counts)
+            entry_idx = np.repeat(starts, counts) + (np.arange(total) - run_heads)
             pt_idx_parts.append(rep_pts)
             rank_parts.append(ranks[entry_idx])
             interior_parts.append(interior[entry_idx])
@@ -146,6 +151,42 @@ def ranks_to_tzids(
         tzids.append(names)
         tzid.append(names[0] if names else None)
     return tzid, tzids
+
+
+def probe_arrow(
+    idx: CompiledIndex,
+    lats: np.ndarray,
+    lons: np.ndarray,
+    mode: str = "strict",
+):
+    """Arrow-native probe result: (valid np.bool_, first_rank pa.Int32Array,
+    ranks pa.ListArray<int32>).
+
+    No per-row Python anywhere — the Spark assign UDF hands these straight
+    back through the Arrow serializer, and the rank→zone-name mapping
+    happens JVM-side (element_at over a literal array), so strings never
+    cross the Python boundary at all.
+
+    Sentinels instead of Arrow nulls (first_rank=-1, ranks=[]): Spark's
+    pandas serializer can't convert pd.NA inside struct fields, so invalid
+    rows are nulled JVM-side via the ``valid`` flag."""
+    import pyarrow as pa
+
+    offsets, ranks, valid = probe_ranks(idx, lats, lons, mode=mode)
+    n = len(valid)
+    counts = np.diff(offsets)
+    has_match = (counts > 0) & valid
+    if len(ranks):
+        first = ranks[np.minimum(offsets[:-1], len(ranks) - 1)].astype(np.int32)
+    else:
+        first = np.zeros(n, dtype=np.int32)
+    first = np.where(has_match, first, -1).astype(np.int32)
+    first_arr = pa.array(first)
+    list_arr = pa.ListArray.from_arrays(
+        pa.array(offsets.astype(np.int32)),
+        pa.array(ranks.astype(np.int32)),
+    )
+    return valid, first_arr, list_arr
 
 
 def distance_from_boundary_batch(
