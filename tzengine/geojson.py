@@ -1,0 +1,178 @@
+"""Builder ETL: GeoJSON → zones table (reference §2.A, Spark-first).
+
+Reproduces the semantics of the reference builder pipeline
+(builder/.../Main.kt):
+  B1  source scan          — FeatureCollection (driver parse) or
+                             line-delimited features (distributed parse
+                             via mapInPandas over spark.read.text)
+  B2  feature → pieces     — Polygon → 1 piece; MultiPolygon → one piece
+                             per polygon (Main.kt:78-94); other geometry
+                             types rejected
+  B3  float32 projection   — every vertex through float32 (Main.kt:41-42)
+  B4  cleanse              — ring-orientation normalization (signed
+                             shoelace: first ring CW-outer, rest
+                             CCW-holes), consecutive-duplicate and
+                             closing-vertex drop. Full esri
+                             OperatorSimplify self-intersection repair is
+                             NOT reproduced (documented gap, SURVEY §7 —
+                             synthetic fixtures are valid by construction)
+  B5  drop empties         — pieces with <3 distinct vertices (Main.kt:107-109)
+  B6  bbox                 — min/max per piece → prune columns (Main.kt:62-74)
+
+Output schema = zones.ZONES_SCHEMA_DDL; ``ordinal`` is the global feature
+order (the stable area-sort tie-break, matching the archive order the
+reference preserves through its stable sort).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import geom
+from .zones import ZONES_SCHEMA_DDL, ZonePiece, pieces_to_rows
+
+
+def _normalize_ring(coords: list, want_cw: bool) -> np.ndarray | None:
+    """GeoJSON ring [[lon, lat], ...] → (V,2) float32-widened (lon,lat)
+    array with enforced orientation, no closing vertex, no consecutive
+    duplicates."""
+    arr = np.asarray(coords, dtype=np.float64)[:, :2]
+    arr = geom.f32(arr)
+    if len(arr) >= 2 and np.array_equal(arr[0], arr[-1]):
+        arr = arr[:-1]
+    if len(arr) >= 2:
+        dup = np.all(arr == np.roll(arr, 1, axis=0), axis=1)
+        arr = arr[~dup]
+    if len(arr) < 3:
+        return None
+    is_ccw = geom.ring_signed_area(arr) > 0  # shoelace positive = CCW
+    if is_ccw == want_cw:
+        arr = arr[::-1].copy()
+    return arr
+
+
+def feature_to_pieces(feature: dict, ordinal_base: int) -> list[ZonePiece]:
+    """B2+B3+B4+B5 for one GeoJSON feature. ``tzid`` property is the zone
+    id (timezone-boundary-builder convention)."""
+    props = feature.get("properties") or {}
+    zone_id = props.get("tzid") or props.get("TZID") or props.get("zone_id")
+    if zone_id is None:
+        raise ValueError("feature has no tzid property")
+    geometry = feature.get("geometry") or {}
+    gtype = geometry.get("type")
+    if gtype == "Polygon":
+        polys = [geometry["coordinates"]]
+    elif gtype == "MultiPolygon":
+        polys = geometry["coordinates"]
+    else:
+        raise ValueError(f"unsupported geometry type: {gtype}")
+
+    pieces = []
+    for poly_id, poly in enumerate(polys):
+        rings = []
+        for ri, ring_coords in enumerate(poly):
+            r = _normalize_ring(ring_coords, want_cw=(ri == 0))
+            if r is not None:
+                rings.append(r)
+        if not rings or geom.polygon_area2d(rings) <= 0:
+            continue  # B5
+        pieces.append(
+            ZonePiece(zone_id, poly_id, ordinal_base + poly_id, rings)
+        )
+    return pieces
+
+
+def zones_from_geojson(spark: SparkSession, path: str) -> DataFrame:
+    """B1 driver path: parse a whole FeatureCollection file (the upstream
+    timezone-boundary-builder release shape — one big JSON object, so it
+    cannot be line-split; zone sets are broadcast-small by design)."""
+    with open(path) as f:
+        fc = json.load(f)
+    if fc.get("type") != "FeatureCollection":
+        raise ValueError("expected a GeoJSON FeatureCollection")
+    pieces: list[ZonePiece] = []
+    for feature in fc.get("features", []):
+        pieces.extend(feature_to_pieces(feature, ordinal_base=len(pieces)))
+    return spark.createDataFrame(pieces_to_rows(pieces), schema=ZONES_SCHEMA_DDL)
+
+
+def zones_from_geojsonl(spark: SparkSession, path: str) -> DataFrame:
+    """B1 distributed path: one GeoJSON Feature per line (jsonl). The
+    parse + cleanse runs on executors (mapInPandas over a text scan);
+    ordinals are derived from a stable per-feature key so the result is
+    partitioning-independent."""
+    from .session import ensure_shipped
+
+    ensure_shipped(spark)
+    lines = spark.read.text(path).filter("length(trim(value)) > 0")
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for line in pdf["value"]:
+                feature = json.loads(line)
+                # stable ordinal: the feature must carry its own index at
+                # world scale; fall back to a hash of the tzid
+                props = feature.get("properties") or {}
+                base = props.get("feature_ordinal")
+                if base is None:
+                    base = abs(hash(props.get("tzid", ""))) % (1 << 30)
+                for p in feature_to_pieces(feature, ordinal_base=int(base)):
+                    out.extend(pieces_to_rows([p]))
+            cols = [
+                "zone_id", "polygon_id", "ordinal", "rings",
+                "min_lat", "min_lon", "max_lat", "max_lon",
+            ]
+            yield pd.DataFrame(out, columns=cols)
+
+    return lines.mapInPandas(parse, ZONES_SCHEMA_DDL)
+
+
+def world_to_geojson(pieces: list[ZonePiece], path: str, jsonl: bool = False) -> None:
+    """Inverse (test fixture helper): zone pieces → GeoJSON file.
+    Multi-piece zones are emitted as MultiPolygon features."""
+    by_zone: dict[str, list[ZonePiece]] = {}
+    order: list[str] = []
+    for p in pieces:
+        if p.zone_id not in by_zone:
+            order.append(p.zone_id)
+        by_zone.setdefault(p.zone_id, []).append(p)
+
+    features = []
+    ordinal = 0
+    for zid in order:
+        zps = sorted(by_zone[zid], key=lambda p: p.polygon_id)
+        polys = []
+        for p in zps:
+            poly = []
+            for r in p.rings:
+                ring = [[float(v[0]), float(v[1])] for v in r]
+                ring.append(ring[0])  # close, per GeoJSON spec
+                poly.append(ring)
+            polys.append(poly)
+        if len(polys) == 1:
+            geometry = {"type": "Polygon", "coordinates": polys[0]}
+        else:
+            geometry = {"type": "MultiPolygon", "coordinates": polys}
+        features.append(
+            {
+                "type": "Feature",
+                "properties": {"tzid": zid, "feature_ordinal": ordinal},
+                "geometry": geometry,
+            }
+        )
+        ordinal += len(polys)
+
+    if jsonl:
+        with open(path, "w") as f:
+            for feat in features:
+                f.write(json.dumps(feat) + "\n")
+    else:
+        with open(path, "w") as f:
+            json.dump({"type": "FeatureCollection", "features": features}, f)
