@@ -79,12 +79,13 @@ def test_roundtrip_consistent_with_covering_index(raster):
             (F.col("zone_id") == "Zone/Filler") & (F.col("kind") == "full")
         ).collect()
     }
-    for res_level, (uniq, offsets, ranks, interior) in idx.levels.items():
+    for res_level, (uniq, offsets, ent_ids) in idx.levels.items():
         if res_level > RES:
             continue
         for i, c in enumerate(uniq):
-            for e in range(offsets[i], offsets[i + 1]):
-                if ranks[e] == filler and interior[e]:
+            for e_pos in range(offsets[i], offsets[i + 1]):
+                e = ent_ids[e_pos]
+                if idx.ent_rank[e] == filler and idx.ent_interior[e]:
                     b = cells.cell_bounds(np.uint64(c))[0]
                     # every RES-descendant of an interior cell is full
                     sub = cells.cells_covering_bbox(

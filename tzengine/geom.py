@@ -350,6 +350,89 @@ def distance_from_boundary(
     return geodesic_distance_wgs84(pts[:, 1], pts[:, 0], nearest[:, 1], nearest[:, 0])
 
 
+def segment_box_mask(
+    seg_a: np.ndarray,
+    seg_b: np.ndarray,
+    xmin: float,
+    ymin: float,
+    xmax: float,
+    ymax: float,
+) -> np.ndarray:
+    """Boolean per segment: touches/crosses the box. Same predicate as
+    segments_intersect_box but element-wise (used by the covering
+    compiler to attach cell-local segment lists to boundary cells)."""
+    n = len(seg_a)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+
+    def outcode(x, y):
+        code = np.zeros(len(x), dtype=np.int32)
+        code |= np.where(x < xmin, 1, 0)
+        code |= np.where(x > xmax, 2, 0)
+        code |= np.where(y < ymin, 4, 0)
+        code |= np.where(y > ymax, 8, 0)
+        return code
+
+    ca = outcode(seg_a[:, 0], seg_a[:, 1])
+    cb = outcode(seg_b[:, 0], seg_b[:, 1])
+    out = np.zeros(n, dtype=bool)
+    out |= (ca == 0) | (cb == 0)  # endpoint inside
+    cand = ~out & ((ca & cb) == 0)
+    if np.any(cand):
+        a = seg_a[cand]
+        b = seg_b[cand]
+        corners = np.array(
+            [[xmin, ymin], [xmax, ymin], [xmax, ymax], [xmin, ymax]],
+            dtype=np.float64,
+        )
+        hit = np.zeros(len(a), dtype=bool)
+        for i in range(4):
+            ea, eb = corners[i], corners[(i + 1) % 4]
+            d1 = (b[:, 0] - a[:, 0]) * (ea[1] - a[:, 1]) - (b[:, 1] - a[:, 1]) * (
+                ea[0] - a[:, 0]
+            )
+            d2 = (b[:, 0] - a[:, 0]) * (eb[1] - a[:, 1]) - (b[:, 1] - a[:, 1]) * (
+                eb[0] - a[:, 0]
+            )
+            d3 = (eb[0] - ea[0]) * (a[:, 1] - ea[1]) - (eb[1] - ea[1]) * (
+                a[:, 0] - ea[0]
+            )
+            d4 = (eb[0] - ea[0]) * (b[:, 1] - ea[1]) - (eb[1] - ea[1]) * (
+                b[:, 0] - ea[0]
+            )
+            hit |= (d1 * d2 <= 0) & (d3 * d4 <= 0)
+        out[np.nonzero(cand)[0]] = hit
+    return out
+
+
+def segments_cross_query(
+    cx: np.ndarray,
+    cy: np.ndarray,
+    px: np.ndarray,
+    py: np.ndarray,
+    ax: np.ndarray,
+    ay: np.ndarray,
+    bx: np.ndarray,
+    by: np.ndarray,
+) -> np.ndarray:
+    """Element-wise: does segment (c→p) cross segment (a→b)?
+
+    Half-open orientation convention (sign>0 vs sign<=0 on BOTH tests) so
+    a query segment passing exactly through a shared polygon vertex is
+    counted once, not twice — the segment-segment analogue of the ray
+    caster's `(ay>py) != (by>py)` rule. Exactly-on-boundary query points
+    are handled by the separate on-segment test before parity is used."""
+
+    def orient(ox, oy, qx, qy, rx, ry):
+        return (qx - ox) * (ry - oy) - (qy - oy) * (rx - ox)
+
+    d1 = orient(ax, ay, bx, by, cx, cy) > 0
+    d2 = orient(ax, ay, bx, by, px, py) > 0
+    d3 = orient(cx, cy, px, py, ax, ay) > 0
+    d4 = orient(cx, cy, px, py, bx, by) > 0
+    return (d1 != d2) & (d3 != d4)
+
+
 def segments_intersect_box(
     seg_a: np.ndarray,
     seg_b: np.ndarray,

@@ -59,9 +59,23 @@ class CompiledIndex:
     ring_offsets: np.ndarray  # int64 (P+1,)
     vert_offsets: np.ndarray  # int64 (R+1,)
     verts: np.ndarray  # float64 (V, 2) lon,lat
-    # cell lookup, grouped by resolution: res -> (sorted cell ids,
-    # entry offsets, entry piece ranks, entry interior flags)
-    levels: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]
+    # flat segment arrays (ring-closing edges included), piece -> span
+    seg_offsets: np.ndarray  # int64 (P+1,)
+    seg_a: np.ndarray  # float64 (S, 2)
+    seg_b: np.ndarray  # float64 (S, 2)
+    # global cell-entry arrays (E entries across all levels):
+    #   rank of the piece, interior flag, even-odd state of the CELL
+    #   CENTER, and the CSR of cell-local segment ids (north_star:
+    #   boundary cells carry their own geometry — probe cost is O(local
+    #   segments), independent of total zone vertex count)
+    ent_rank: np.ndarray  # int32 (E,)
+    ent_interior: np.ndarray  # bool (E,)
+    ent_center: np.ndarray  # bool (E,)
+    ent_seg_off: np.ndarray  # int64 (E+1,)
+    ent_seg_idx: np.ndarray  # int32 (sum of local segs,)
+    # cell lookup per resolution: res -> (sorted cell ids, offsets,
+    # entry ids)
+    levels: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]]
 
     @property
     def n_pieces(self) -> int:
@@ -73,8 +87,16 @@ class CompiledIndex:
             rings.append(self.verts[self.vert_offsets[ri] : self.vert_offsets[ri + 1]])
         return rings
 
+    def piece_segments(self, rank: int) -> tuple[np.ndarray, np.ndarray]:
+        s, e = self.seg_offsets[rank], self.seg_offsets[rank + 1]
+        return self.seg_a[s:e], self.seg_b[s:e]
+
     def nbytes(self) -> int:
-        n = self.verts.nbytes + self.ring_offsets.nbytes + self.vert_offsets.nbytes
+        n = (self.verts.nbytes + self.ring_offsets.nbytes
+             + self.vert_offsets.nbytes + self.seg_a.nbytes + self.seg_b.nbytes
+             + self.ent_rank.nbytes + self.ent_interior.nbytes
+             + self.ent_center.nbytes + self.ent_seg_off.nbytes
+             + self.ent_seg_idx.nbytes)
         for lvl in self.levels.values():
             n += sum(a.nbytes for a in lvl)
         return n
@@ -191,11 +213,16 @@ def compile_index(
                 continue  # reference drops empty clip results (pointCount>0)
         clipped.append((p, rings))
 
-    # flatten geometry to CSR
+    # flatten geometry to CSR (rings + flat segment arrays per piece)
     zone_ids, polygon_ids, areas = [], [], []
     ring_offsets = [0]
     vert_offsets = [0]
     verts_list = []
+    seg_offsets = [0]
+    seg_a_list, seg_b_list = [], []
+    ent_rank, ent_interior, ent_center = [], [], []
+    ent_seg_off = [0]
+    ent_seg_idx_parts: list[np.ndarray] = []
     per_level: dict[int, dict[str, list]] = {}
 
     for rank, (p, rings) in enumerate(clipped):
@@ -206,32 +233,55 @@ def compile_index(
             verts_list.append(r)
             vert_offsets.append(vert_offsets[-1] + len(r))
         ring_offsets.append(ring_offsets[-1] + len(rings))
+        sa, sb = geom._segments(rings)
+        seg_base = seg_offsets[-1]
+        seg_a_list.append(sa)
+        seg_b_list.append(sb)
+        seg_offsets.append(seg_base + len(sa))
 
         if cover_entries is not None and p.ordinal in cover_entries:
             cids, interior = cover_entries[p.ordinal]
         else:
             cids, interior = cover_piece(rings, depth=depth)
         res = cells.cell_res(cids)
-        for r_level in np.unique(res):
-            m = res == r_level
-            lvl = per_level.setdefault(
-                int(r_level), {"cell": [], "rank": [], "interior": []}
-            )
-            lvl["cell"].append(cids[m])
-            lvl["rank"].append(np.full(int(m.sum()), rank, dtype=np.int32))
-            lvl["interior"].append(interior[m])
+        bounds = cells.cell_bounds(cids)
+        centers = np.stack(
+            [(bounds[:, 0] + bounds[:, 2]) / 2, (bounds[:, 1] + bounds[:, 3]) / 2],
+            axis=1,
+        )
+        center_in = geom.points_in_rings_evenodd(centers, sa, sb)
+        for i in range(len(cids)):
+            eid = len(ent_rank)
+            ent_rank.append(rank)
+            ent_interior.append(bool(interior[i]))
+            ent_center.append(bool(center_in[i]))
+            if interior[i]:
+                ent_seg_off.append(ent_seg_off[-1])
+            else:
+                # boundary cell: attach the ORIGINAL segments that touch
+                # this cell (exact geometry — no clipped-coordinate
+                # rounding); probe parity runs against only these
+                mask = geom.segment_box_mask(
+                    sa, sb, bounds[i, 0], bounds[i, 1], bounds[i, 2], bounds[i, 3]
+                )
+                local = (np.nonzero(mask)[0] + seg_base).astype(np.int32)
+                ent_seg_idx_parts.append(local)
+                ent_seg_off.append(ent_seg_off[-1] + len(local))
+            lvl = per_level.setdefault(int(res[i]), {"cell": [], "ent": []})
+            lvl["cell"].append(np.uint64(cids[i]))
+            lvl["ent"].append(eid)
 
     levels = {}
     for r_level, d in per_level.items():
-        cell = np.concatenate(d["cell"])
-        rank = np.concatenate(d["rank"])
-        interior = np.concatenate(d["interior"])
-        # group entries by cell id; within a cell keep rank-ascending order
-        order = np.lexsort((rank, cell))
-        cell, rank, interior = cell[order], rank[order], interior[order]
+        cell = np.array(d["cell"], dtype=np.uint64)
+        ent = np.array(d["ent"], dtype=np.int32)
+        # group entries by cell id; entry ids ascend with rank, so a
+        # stable sort keeps rank-ascending order within each cell
+        order = np.lexsort((ent, cell))
+        cell, ent = cell[order], ent[order]
         uniq, start = np.unique(cell, return_index=True)
         offsets = np.append(start, len(cell)).astype(np.int64)
-        levels[r_level] = (uniq, offsets, rank, interior)
+        levels[r_level] = (uniq, offsets, ent)
 
     return CompiledIndex(
         version=f"{INDEX_FORMAT_VERSION}:{world_version}",
@@ -242,6 +292,18 @@ def compile_index(
         ring_offsets=np.array(ring_offsets, dtype=np.int64),
         vert_offsets=np.array(vert_offsets, dtype=np.int64),
         verts=np.vstack(verts_list) if verts_list else np.zeros((0, 2)),
+        seg_offsets=np.array(seg_offsets, dtype=np.int64),
+        seg_a=np.vstack(seg_a_list) if seg_a_list else np.zeros((0, 2)),
+        seg_b=np.vstack(seg_b_list) if seg_b_list else np.zeros((0, 2)),
+        ent_rank=np.array(ent_rank, dtype=np.int32),
+        ent_interior=np.array(ent_interior, dtype=bool),
+        ent_center=np.array(ent_center, dtype=bool),
+        ent_seg_off=np.array(ent_seg_off, dtype=np.int64),
+        ent_seg_idx=(
+            np.concatenate(ent_seg_idx_parts).astype(np.int32)
+            if ent_seg_idx_parts
+            else np.zeros(0, dtype=np.int32)
+        ),
         levels=levels,
     )
 

@@ -57,8 +57,8 @@ def probe_ranks(
         raise ValueError(f"unknown mode: {mode}")
 
     pt_idx_parts: list[np.ndarray] = []
-    rank_parts: list[np.ndarray] = []
-    interior_parts: list[np.ndarray] = []
+    ent_parts: list[np.ndarray] = []
+    cell_parts: list[np.ndarray] = []
 
     vi = np.nonzero(valid)[0]
     if len(vi):
@@ -67,7 +67,7 @@ def probe_ranks(
         # bit-shifts (cell_ancestor_at) — the encode is ~half the kernel
         max_res = max(idx.levels) if idx.levels else 0
         base_cell = cells.cell_of(vlons, vlats, max_res)
-        for res, (uniq, offsets, ranks, interior) in idx.levels.items():
+        for res, (uniq, offsets, ent_ids) in idx.levels.items():
             pc = cells.cell_ancestor_at(base_cell, res)
             pos = np.searchsorted(uniq, pc)
             pos_c = np.minimum(pos, len(uniq) - 1)
@@ -85,39 +85,70 @@ def probe_ranks(
             run_heads = np.repeat(np.cumsum(counts) - counts, counts)
             entry_idx = np.repeat(starts, counts) + (np.arange(total) - run_heads)
             pt_idx_parts.append(rep_pts)
-            rank_parts.append(ranks[entry_idx])
-            interior_parts.append(interior[entry_idx])
+            ent_parts.append(ent_ids[entry_idx])
+            cell_parts.append(np.repeat(pc[hit], counts))
 
     if pt_idx_parts:
         pt_idx = np.concatenate(pt_idx_parts)
-        cand_rank = np.concatenate(rank_parts)
-        cand_int = np.concatenate(interior_parts)
+        cand_ent = np.concatenate(ent_parts)
+        cand_cell = np.concatenate(cell_parts)
     else:
         pt_idx = np.zeros(0, dtype=np.int64)
-        cand_rank = np.zeros(0, dtype=np.int32)
-        cand_int = np.zeros(0, dtype=bool)
+        cand_ent = np.zeros(0, dtype=np.int32)
+        cand_cell = np.zeros(0, dtype=np.uint64)
 
-    # Boundary candidates need the exact inclusive PIP. Group by piece so
-    # each piece's rings are tested against all its candidate points at
-    # once (vectorized N_pts x N_segs per piece).
+    cand_rank = idx.ent_rank[cand_ent] if len(cand_ent) else np.zeros(0, np.int32)
+    cand_int = (
+        idx.ent_interior[cand_ent] if len(cand_ent) else np.zeros(0, dtype=bool)
+    )
+
+    # Boundary candidates: exact inclusive containment against the CELL-
+    # LOCAL segments only (the entry carries its segment ids and the even-
+    # odd state of the cell center): inside = on-any-local-segment OR
+    # center_state XOR parity(crossings of the center→point segment).
+    # Cost is O(local segments) per candidate — independent of the zone's
+    # total vertex count (north_star boundary-cell design).
     confirmed = cand_int.copy()
-    btest = ~cand_int
-    if np.any(btest):
-        b_ranks = cand_rank[btest]
-        b_pts = pt_idx[btest]
-        b_confirm = np.zeros(len(b_ranks), dtype=bool)
-        order = np.argsort(b_ranks, kind="stable")
-        sorted_ranks = b_ranks[order]
-        bounds = np.searchsorted(
-            sorted_ranks, np.arange(idx.n_pieces + 1), side="left"
+    bsel = np.nonzero(~cand_int)[0]
+    if len(bsel):
+        ents = cand_ent[bsel]
+        k = (idx.ent_seg_off[ents + 1] - idx.ent_seg_off[ents]).astype(np.int64)
+        total = int(k.sum())
+        rep_pair = np.repeat(np.arange(len(bsel)), k)
+        run_heads = np.repeat(np.cumsum(k) - k, k)
+        seg_pos = np.repeat(idx.ent_seg_off[ents], k) + (
+            np.arange(total) - run_heads
         )
-        for rank in np.unique(sorted_ranks):
-            s, e = bounds[rank], bounds[rank + 1]
-            sel = order[s:e]
-            pts = np.stack([lons[b_pts[sel]], lats[b_pts[sel]]], axis=1)
-            rings = idx.piece_rings(int(rank))
-            b_confirm[sel] = geom.contains_inclusive(pts, rings)
-        confirmed[btest] = b_confirm
+        seg_ids = idx.ent_seg_idx[seg_pos]
+        ax, ay = idx.seg_a[seg_ids, 0], idx.seg_a[seg_ids, 1]
+        bx, by = idx.seg_b[seg_ids, 0], idx.seg_b[seg_ids, 1]
+        px = lons[pt_idx[bsel]][rep_pair]
+        py = lats[pt_idx[bsel]][rep_pair]
+        cb = cells.cell_bounds(cand_cell[bsel])
+        cx = ((cb[:, 0] + cb[:, 2]) / 2.0)[rep_pair]
+        cy = ((cb[:, 1] + cb[:, 3]) / 2.0)[rep_pair]
+
+        # on-segment (touches) test — inclusive boundary (Util.kt:12-13)
+        cross_prod = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+        seg_len = np.hypot(bx - ax, by - ay)
+        colinear = np.abs(cross_prod) <= geom.ON_EDGE_EPS * np.maximum(seg_len, 1.0)
+        inbox = (
+            (px >= np.minimum(ax, bx) - geom.ON_EDGE_EPS)
+            & (px <= np.maximum(ax, bx) + geom.ON_EDGE_EPS)
+            & (py >= np.minimum(ay, by) - geom.ON_EDGE_EPS)
+            & (py <= np.maximum(ay, by) + geom.ON_EDGE_EPS)
+        )
+        on_seg = colinear & inbox
+        crossing = geom.segments_cross_query(cx, cy, px, py, ax, ay, bx, by)
+
+        on_any = np.bincount(rep_pair, weights=on_seg, minlength=len(bsel)) > 0
+        parity = (
+            np.bincount(rep_pair, weights=crossing, minlength=len(bsel)).astype(
+                np.int64
+            )
+            & 1
+        ).astype(bool)
+        confirmed[bsel] = on_any | (idx.ent_center[ents] ^ parity)
 
     pt_idx = pt_idx[confirmed]
     cand_rank = cand_rank[confirmed]
