@@ -234,24 +234,38 @@ def distance_from_boundary_batch(
     pipeline mode."""
     lats = np.asarray(lats, dtype=np.float64)
     lons = np.asarray(lons, dtype=np.float64)
-    out = np.full(len(lats), np.nan)
+    n = len(lats)
+    out = np.full(n, np.nan)
 
-    # piece ranks per zone id, rank-ascending
+    # piece ranks per zone id, rank-ascending (first containing piece is
+    # "the" TimeZone object the reference user would hold)
     zone_to_ranks: dict[str, list[int]] = {}
     for rank, zid in enumerate(idx.zone_ids):
         zone_to_ranks.setdefault(zid, []).append(rank)
 
-    for i in range(len(lats)):
-        zid = zone_ids[i]
-        pt = np.array([[lons[i], lats[i]]])
-        found = False
+    # vectorized per (zone, piece): all of a zone's pending points are
+    # tested/measured against each piece at once, rank order preserved
+    zarr = np.asarray(zone_ids, dtype=object)
+    resolved = np.zeros(n, dtype=bool)
+    for zid in dict.fromkeys(z for z in zone_ids if z is not None):
+        sel = np.nonzero((zarr == zid) & ~resolved)[0]
+        if not len(sel):
+            continue
         for rank in zone_to_ranks.get(zid, []):
-            rings = idx.piece_rings(rank)
-            if geom.contains_inclusive(pt, rings)[0]:
-                out[i] = geom.distance_from_boundary(pt, rings)[0]
-                found = True
+            if not len(sel):
                 break
-        if not found and mode == "strict":
+            pts = np.stack([lons[sel], lats[sel]], axis=1)
+            rings = idx.piece_rings(rank)
+            inside = geom.contains_inclusive(pts, rings)
+            hit = sel[inside]
+            if len(hit):
+                hp = np.stack([lons[hit], lats[hit]], axis=1)
+                out[hit] = geom.distance_from_boundary(hp, rings)
+                resolved[hit] = True
+            sel = sel[~inside]
+    if mode == "strict" and not np.all(resolved | np.equal(zarr, None)):
+        unresolved = ~resolved
+        if np.any(unresolved):
             raise ValueError("Location must be inside the time zone")
     return out
 
