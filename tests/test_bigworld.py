@@ -1,0 +1,78 @@
+"""Reference-scale world: >150 zone pieces with real vertex counts.
+
+Evidence that the engine holds at the reference's world scale (>400
+zones, TimeZoneMapTest.java:283 — full scale exercised in bench/BASELINE;
+a reduced grid keeps CI fast while covering the same code paths)."""
+
+import numpy as np
+import pytest
+
+from tzengine import index, probe
+from tzengine.bigworld import big_world
+from tzengine.oracle import OracleMap
+
+
+@pytest.fixture(scope="module")
+def world():
+    return big_world(grid=13, verts=64)
+
+
+@pytest.fixture(scope="module")
+def idx(world):
+    return index.compile_index(world, -90, -180, 90, 180, world_version="big1")
+
+
+def test_scale_shape(world, idx):
+    assert len(world) > 150
+    # broadcast stays small (SURVEY §4: O(few MB) at world scale)
+    assert idx.nbytes() < 16 * 1024 * 1024
+    # mixed resolutions present, interior and boundary cells both exist
+    assert len(idx.levels) >= 3
+    assert idx.ent_interior.any() and (~idx.ent_interior).any()
+
+
+def test_oracle_agreement_at_scale(world, idx):
+    oracle = OracleMap(world, -90, -180, 90, 180)
+    rng = np.random.default_rng(7)
+    lats = rng.uniform(-63, 63, 1500)
+    lons = rng.uniform(-63, 63, 1500)
+    offs, ranks, valid = probe.probe_ranks(idx, lats, lons, mode="strict")
+    _, tzids = probe.ranks_to_tzids(idx, offs, ranks, valid)
+    mism = sum(
+        1
+        for i in range(len(lats))
+        if tzids[i] != oracle.get_overlapping_time_zones(lats[i], lons[i])
+    )
+    assert mism == 0
+    # overlapping tiles exist: some points match >2 zones (zone+ocean)
+    assert any(len(t) > 2 for t in tzids)
+
+
+def test_full_coverage_and_ocean_last(idx, world):
+    rng = np.random.default_rng(8)
+    lats = rng.uniform(-63, 63, 500)
+    lons = rng.uniform(-63, 63, 500)
+    offs, ranks, valid = probe.probe_ranks(idx, lats, lons, mode="strict")
+    _, tzids = probe.ranks_to_tzids(idx, offs, ranks, valid)
+    for t in tzids:
+        assert t, "ocean filler guarantees full coverage"
+        assert t[-1] == "Zone/Ocean", "largest area always sorts last"
+
+
+def test_distributed_compile_parity_at_scale(spark, world):
+    from tzengine.engine import TzEngine
+    from tzengine.zones import pieces_to_df
+
+    local = TzEngine.for_everywhere(spark, world, world_version="big1")
+    dist = TzEngine.for_everywhere(
+        spark, pieces_to_df(spark, world), world_version="big1", distributed=True
+    )
+    rng = np.random.default_rng(9)
+    pts = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(
+            rng.uniform(-63, 63, 400), rng.uniform(-63, 63, 400))],
+        "lat double, lon double",
+    )
+    a = local.assign_timezones(pts).orderBy("lat", "lon").collect()
+    b = dist.assign_timezones(pts).orderBy("lat", "lon").collect()
+    assert a == b

@@ -405,6 +405,62 @@ def segment_box_mask(
     return out
 
 
+def segments_box_matrix(
+    seg_a: np.ndarray, seg_b: np.ndarray, boxes: np.ndarray
+) -> np.ndarray:
+    """Bool matrix (C, S): segment s touches/crosses box c. Boxes are
+    (C, 4) as (xmin, ymin, xmax, ymax). Fully vectorized form of
+    segment_box_mask over many boxes (covering-compiler hot path)."""
+    C, S = len(boxes), len(seg_a)
+    if C == 0 or S == 0:
+        return np.zeros((C, S), dtype=bool)
+    xmin = boxes[:, 0][:, None]
+    ymin = boxes[:, 1][:, None]
+    xmax = boxes[:, 2][:, None]
+    ymax = boxes[:, 3][:, None]
+    ax, ay = seg_a[:, 0][None, :], seg_a[:, 1][None, :]
+    bx, by = seg_b[:, 0][None, :], seg_b[:, 1][None, :]
+
+    in_a = (ax >= xmin) & (ax <= xmax) & (ay >= ymin) & (ay <= ymax)
+    in_b = (bx >= xmin) & (bx <= xmax) & (by >= ymin) & (by <= ymax)
+    out = in_a | in_b
+
+    # outcode trivial-reject
+    ca = (
+        np.where(ax < xmin, 1, 0)
+        | np.where(ax > xmax, 2, 0)
+        | np.where(ay < ymin, 4, 0)
+        | np.where(ay > ymax, 8, 0)
+    )
+    cb = (
+        np.where(bx < xmin, 1, 0)
+        | np.where(bx > xmax, 2, 0)
+        | np.where(by < ymin, 4, 0)
+        | np.where(by > ymax, 8, 0)
+    )
+    cand = ~out & ((ca & cb) == 0)
+    if np.any(cand):
+        hit = np.zeros_like(cand)
+        corners = [
+            (xmin, ymin, xmax, ymin),
+            (xmax, ymin, xmax, ymax),
+            (xmax, ymax, xmin, ymax),
+            (xmin, ymax, xmin, ymin),
+        ]
+        dxs = bx - ax
+        dys = by - ay
+        for ex0, ey0, ex1, ey1 in corners:
+            d1 = dxs * (ey0 - ay) - dys * (ex0 - ax)
+            d2 = dxs * (ey1 - ay) - dys * (ex1 - ax)
+            dex = ex1 - ex0
+            dey = ey1 - ey0
+            d3 = dex * (ay - ey0) - dey * (ax - ex0)
+            d4 = dex * (by - ey0) - dey * (bx - ex0)
+            hit |= (d1 * d2 <= 0) & (d3 * d4 <= 0)
+        out |= cand & hit
+    return out
+
+
 def segments_cross_query(
     cx: np.ndarray,
     cy: np.ndarray,

@@ -129,36 +129,59 @@ def cover_piece(
     max_res = min(base + depth, cells.MAX_RES)
     seg_a, seg_b = geom._segments(rings)
 
-    out_cells: list[int] = []
-    out_interior: list[bool] = []
-    frontier = cells.cells_covering_bbox(lo_lon, lo_lat, hi_lon, hi_lat, base).tolist()
+    out_cells_parts: list[np.ndarray] = []
+    out_interior_parts: list[np.ndarray] = []
+    frontier = cells.cells_covering_bbox(lo_lon, lo_lat, hi_lon, hi_lat, base)
+    n_emitted = 0
 
-    while frontier:
-        next_frontier: list[int] = []
-        for c in frontier:
-            b = cells.cell_bounds(np.uint64(c))[0]
-            # prune: cell rect vs piece bbox
-            if b[2] < lo_lon or b[0] > hi_lon or b[3] < lo_lat or b[1] > hi_lat:
-                continue
-            crossed = geom.segments_intersect_box(seg_a, seg_b, b[0], b[1], b[2], b[3])
-            if not crossed:
-                center = np.array([[(b[0] + b[2]) / 2.0, (b[1] + b[3]) / 2.0]])
-                if geom.contains_inclusive(center, rings)[0]:
-                    out_cells.append(int(c))
-                    out_interior.append(True)
-                continue
-            res = int(np.uint64(c) >> np.uint64(58))
-            if res >= max_res or len(out_cells) + len(next_frontier) >= max_cells:
-                out_cells.append(int(c))
-                out_interior.append(False)
-            else:
-                next_frontier.extend(cells.cell_children(c).tolist())
-        frontier = next_frontier
+    while len(frontier):
+        b = cells.cell_bounds(frontier)
+        # prune: cell rect vs piece bbox
+        keep = ~(
+            (b[:, 2] < lo_lon)
+            | (b[:, 0] > hi_lon)
+            | (b[:, 3] < lo_lat)
+            | (b[:, 1] > hi_lat)
+        )
+        frontier, b = frontier[keep], b[keep]
+        if not len(frontier):
+            break
+        crossed = geom.segments_box_matrix(seg_a, seg_b, b).any(axis=1)
 
-    return (
-        np.array(out_cells, dtype=np.uint64),
-        np.array(out_interior, dtype=bool),
-    )
+        # uniform cells: decide by center point, keep the interior ones
+        uni = ~crossed
+        if np.any(uni):
+            centers = np.stack(
+                [(b[uni, 0] + b[uni, 2]) / 2.0, (b[uni, 1] + b[uni, 3]) / 2.0],
+                axis=1,
+            )
+            inside = geom.contains_inclusive(centers, rings)
+            inner = frontier[uni][inside]
+            if len(inner):
+                out_cells_parts.append(inner)
+                out_interior_parts.append(np.ones(len(inner), dtype=bool))
+                n_emitted += len(inner)
+
+        cross_cells = frontier[crossed]
+        if not len(cross_cells):
+            break
+        res = int(cells.cell_res(cross_cells[:1])[0])
+        if res >= max_res or n_emitted + 4 * len(cross_cells) >= max_cells:
+            out_cells_parts.append(cross_cells)
+            out_interior_parts.append(np.zeros(len(cross_cells), dtype=bool))
+            n_emitted += len(cross_cells)
+            break
+        # subdivide every crossed cell (vectorized children)
+        morton = cross_cells & np.uint64((1 << 58) - 1)
+        bases = (np.uint64(res + 1) << np.uint64(58)) | (morton << np.uint64(2))
+        frontier = (bases[:, None] + np.arange(4, dtype=np.uint64)[None, :]).ravel()
+
+    if out_cells_parts:
+        return (
+            np.concatenate(out_cells_parts),
+            np.concatenate(out_interior_parts),
+        )
+    return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=bool)
 
 
 def compile_index(
@@ -250,6 +273,20 @@ def compile_index(
             axis=1,
         )
         center_in = geom.points_in_rings_evenodd(centers, sa, sb)
+        # boundary cells: attach the ORIGINAL segments touching each cell
+        # (exact geometry — no clipped-coordinate rounding); one
+        # vectorized (cells x segments) matrix per piece
+        bsel = np.nonzero(~interior)[0]
+        local_lists: dict[int, np.ndarray] = {}
+        if len(bsel):
+            mat = geom.segments_box_matrix(sa, sb, bounds[bsel])
+            rows, cols = np.nonzero(mat)
+            split_at = np.searchsorted(rows, np.arange(len(bsel)))
+            split_at = np.append(split_at, len(rows))
+            for j in range(len(bsel)):
+                local_lists[int(bsel[j])] = (
+                    cols[split_at[j] : split_at[j + 1]] + seg_base
+                ).astype(np.int32)
         for i in range(len(cids)):
             eid = len(ent_rank)
             ent_rank.append(rank)
@@ -258,13 +295,7 @@ def compile_index(
             if interior[i]:
                 ent_seg_off.append(ent_seg_off[-1])
             else:
-                # boundary cell: attach the ORIGINAL segments that touch
-                # this cell (exact geometry — no clipped-coordinate
-                # rounding); probe parity runs against only these
-                mask = geom.segment_box_mask(
-                    sa, sb, bounds[i, 0], bounds[i, 1], bounds[i, 2], bounds[i, 3]
-                )
-                local = (np.nonzero(mask)[0] + seg_base).astype(np.int32)
+                local = local_lists[i]
                 ent_seg_idx_parts.append(local)
                 ent_seg_off.append(ent_seg_off[-1] + len(local))
             lvl = per_level.setdefault(int(res[i]), {"cell": [], "ent": []})
