@@ -330,6 +330,26 @@ def q_fingerprint(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_assign_bigworld(spark, sf_dir):
+    """Reference-scale world (454 zones / 42k vertices): the same assign
+    operator over a 4MB broadcast index. Rows-only (exactness at this
+    scale is pinned by the pytest oracle sweep in test_bigworld.py)."""
+    from tzengine.bigworld import big_world
+
+    key = ("big", id(spark))
+    if key not in _ENGINES:
+        _ENGINES[key] = TzEngine.for_everywhere(
+            spark, big_world(grid=13, verts=64), world_version="big1"
+        )
+    pts = _events_points(spark, sf_dir).select(
+        "event_id",
+        (F.col("lat") * 12.0 - 60.0).alias("lat"),
+        (F.col("lon") * 12.0 - 60.0).alias("lon"),
+    )
+    out = _ENGINES[key].assign_timezones(pts, mode="strict")
+    return out.select("event_id", "tzid", F.size("tzids").alias("n_zones"))
+
+
 def q_tiling_roundtrip(spark, sf_dir):
     """Raster → vector → expand round-trip summary per zone piece."""
     from tzengine import tiling
@@ -378,6 +398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "fingerprint": q_fingerprint,
         "tiling_roundtrip": q_tiling_roundtrip,
+        "assign_bigworld": q_assign_bigworld,
     }
 
 

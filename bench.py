@@ -122,6 +122,25 @@ def main() -> None:
     efficiency = thr_high / (4.0 * thr_low)
     eff_2_8 = thr[8] / (4.0 * thr[2]) if 2 in thr and 8 in thr else None
 
+    # --- world-scale assignment (454 zones, 42k vertices) -----------------
+    from tzengine.engine import TzEngine
+    from tzengine.bigworld import big_world
+
+    eng454 = TzEngine.for_everywhere(spark, big_world(), world_version="big1")
+    pts454 = probe_points(spark, sf_dir).repartition(cores).cache()
+    n454 = pts454.count()
+    # big world spans lat/lon [-63,63]; shift derived points into range
+    pts454 = pts454.select(
+        (F.col("lat") * 12.0 - 60.0).alias("lat"),
+        (F.col("lon") * 12.0 - 60.0).alias("lon"),
+    ).cache()
+    pts454.count()
+    out454 = eng454.assign_timezones(pts454, mode="strict")
+    out454.groupBy("tzid").count().collect()
+    el454 = min(timed(lambda: out454.groupBy("tzid").count().collect())[0]
+                for _ in range(3))
+    queries["assign_world454"] = round(el454, 3)
+
     # --- other headline queries at full parallelism -----------------------
     import __spark_entry__ as entrymod
 
@@ -150,6 +169,7 @@ def main() -> None:
         "sf": sf,
         "rows_assigned": n_rows,
         "assign_rows_per_sec": round(thr_high),
+        "assign_world454_rows_per_sec": round(n454 / el454),
         "scaling": {
             "ladder_rows_per_sec": {str(c): round(v) for c, v in thr.items()},
             "cores_low": max(2, cores // 4),

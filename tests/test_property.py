@@ -1,0 +1,92 @@
+"""Property-based correctness: for ANY random simple polygon world, the
+covering index + probe must agree with direct inclusive containment, and
+clipping must preserve results inside the region."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from tzengine import geom, index, probe
+from tzengine.zones import ZonePiece
+
+
+def star_piece(seed: int, zone_id: str, ordinal: int, cx: float, cy: float,
+               scale: float, verts: int) -> ZonePiece:
+    rng = np.random.default_rng(seed)
+    ang = np.linspace(0, 2 * np.pi, verts, endpoint=False)
+    radii = rng.uniform(0.3, 1.0, verts) * scale
+    lon = geom.f32(cx + radii * np.cos(ang))[::-1]
+    lat = geom.f32(cy + radii * np.sin(ang))[::-1]
+    return ZonePiece(zone_id, 0, ordinal, [np.stack([lon, lat], axis=1)])
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    verts=st.integers(min_value=4, max_value=40),
+    depth=st.integers(min_value=2, max_value=6),
+)
+def test_index_probe_equals_direct_pip(seed, verts, depth):
+    rng = np.random.default_rng(seed + 500_000)
+    pieces = [
+        star_piece(seed, "Zone/A", 0, 0.0, 0.0, 3.0, verts),
+        star_piece(seed + 1, "Zone/B", 1, 1.5, 1.0, 2.0, verts),
+    ]
+    idx = index.compile_index(
+        pieces, -90, -180, 90, 180, world_version="prop", depth=depth
+    )
+    lats = rng.uniform(-4.5, 4.5, 400)
+    lons = rng.uniform(-4.5, 4.5, 400)
+    offs, ranks, valid = probe.probe_ranks(idx, lats, lons, mode="strict")
+    _, tzids = probe.ranks_to_tzids(idx, offs, ranks, valid)
+
+    pts = np.stack([lons, lats], axis=1)
+    # direct, index-free truth — note rank order comes from area sort
+    order = sorted(range(2), key=lambda i: (pieces[i].area2d, pieces[i].ordinal))
+    for i in range(len(lats)):
+        want = [
+            pieces[j].zone_id
+            for j in order
+            if geom.contains_inclusive(pts[i : i + 1], pieces[j].rings)[0]
+        ]
+        assert tzids[i] == want, (seed, verts, depth, lats[i], lons[i])
+
+
+@settings(max_examples=20, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=10_000))
+def test_clip_preserves_in_region_results(seed):
+    piece = star_piece(seed, "Zone/A", 0, 0.0, 0.0, 3.0, 24)
+    whole = index.compile_index([piece], -90, -180, 90, 180, world_version="p")
+    scoped = index.compile_index([piece], -1.0, -1.0, 1.0, 1.0, world_version="p")
+    rng = np.random.default_rng(seed)
+    lats = rng.uniform(-1.0, 1.0, 200)
+    lons = rng.uniform(-1.0, 1.0, 200)
+    o1, r1, v1 = probe.probe_ranks(whole, lats, lons, mode="strict")
+    _, t1 = probe.ranks_to_tzids(whole, o1, r1, v1)
+    o2, r2, v2 = probe.probe_ranks(scoped, lats, lons, mode="strict")
+    _, t2 = probe.ranks_to_tzids(scoped, o2, r2, v2)
+    assert t1 == t2
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=100_000),
+    xmin=st.floats(min_value=-2, max_value=0.5),
+    ymin=st.floats(min_value=-2, max_value=0.5),
+    w=st.floats(min_value=0.1, max_value=3),
+    h=st.floats(min_value=0.1, max_value=3),
+)
+def test_clip_area_never_grows(seed, xmin, ymin, w, h):
+    piece = star_piece(seed, "Z", 0, 0.0, 0.0, 2.0, 16)
+    ring = piece.rings[0]
+    clipped = geom.clip_ring_to_box(ring, xmin, ymin, xmin + w, ymin + h)
+    a0 = abs(geom.ring_signed_area(ring))
+    if len(clipped):
+        a1 = abs(geom.ring_signed_area(clipped))
+        assert a1 <= a0 + 1e-9
+        assert a1 <= w * h + 1e-9
+        # clipped vertices stay inside the box
+        assert clipped[:, 0].min() >= xmin - 1e-9
+        assert clipped[:, 0].max() <= xmin + w + 1e-9
+        assert clipped[:, 1].min() >= ymin - 1e-9
+        assert clipped[:, 1].max() <= ymin + h + 1e-9
