@@ -350,6 +350,49 @@ def q_assign_bigworld(spark, sf_dir):
     return out.select("event_id", "tzid", F.size("tzids").alias("n_zones"))
 
 
+def q_image_features(spark, sf_dir):
+    """Multimodal: decode real pixels (raw/PNG/q6) and extract features
+    via mapInPandas. Input images are the deterministic fixture table
+    (row-index-seeded; sf only varies the other queries)."""
+    from tzengine.fixtures import geo_images_df
+    from tzengine.pipeline.multimodal import image_features
+
+    df = geo_images_df(spark, 200, partitions=8)
+    return image_features(df).orderBy("image_id")
+
+
+def q_payload_verify(spark, sf_dir):
+    """Per-row payload fidelity (input_hint invariant): decoded-pixel
+    exact/PSNR>=40dB + caption equality + phash stability, aggregated."""
+    from tzengine.fixtures import geo_images_df
+    from tzengine.payload import verify_payload
+
+    v = verify_payload(geo_images_df(spark, 120, partitions=8))
+    return (
+        v.groupBy("fmt")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("pixels_ok").cast("int")).alias("n_pixels_ok"),
+            F.sum(F.col("caption_ok").cast("int")).alias("n_caption_ok"),
+            F.sum(F.col("phash_ok").cast("int")).alias("n_phash_ok"),
+            F.min(F.round("psnr_db", 3)).alias("min_psnr_db"),
+        )
+        .orderBy("fmt")
+    )
+
+
+def q_hot_cells(spark, sf_dir):
+    """Skew diagnostic: salted per-cell counts over the assigned table."""
+    from tzengine.functions import hot_cell_histogram
+
+    pts = _events_points(spark, sf_dir)
+    assigned = _engine(spark).assign_timezones(
+        pts.withColumn("image_id", F.col("event_id").cast("string")),
+        mode="strict",
+    )
+    return hot_cell_histogram(assigned, top=20)
+
+
 def q_tiling_roundtrip(spark, sf_dir):
     """Raster → vector → expand round-trip summary per zone piece."""
     from tzengine import tiling
@@ -399,6 +442,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "tiling_roundtrip": q_tiling_roundtrip,
         "assign_bigworld": q_assign_bigworld,
+        "image_features": q_image_features,
+        "payload_verify": q_payload_verify,
+        "hot_cells": q_hot_cells,
     }
 
 
