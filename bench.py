@@ -107,16 +107,40 @@ def main() -> None:
     thr = {}
     n_rows = 0
     el_high = None
+    # two independent sessions per core count; best wins (session-level
+    # noise on this shared host is the dominant variance source)
     for c in ladder:
-        s = build_session(c)
-        el, n_rows = assign_job(s, sf_dir, c)
-        thr[c] = n_rows / el
+        best_el = None
+        for _attempt in range(2):
+            s = build_session(c)
+            el, n_rows = assign_job(s, sf_dir, c)
+            s.stop()
+            best_el = el if best_el is None else min(best_el, el)
+        thr[c] = n_rows / best_el
         if c == cores:
-            el_high = el
-        s.stop()
+            el_high = best_el
 
     spark = build_session(cores)
     queries["assign_geo"] = round(el_high, 3)
+
+    # --- exact zone-match rate vs the reference-semantics oracle ----------
+    from tzengine.engine import TzEngine as _TzE
+    from tzengine.oracle import OracleMap
+    from tzengine.zones import synthetic_world as _sw
+
+    _eng = _TzE.for_everywhere(spark, _sw(), world_version="synth1")
+    _oracle = OracleMap(_sw(), -90, -180, 90, 180)
+    sample = probe_points(spark, sf_dir).limit(2000).collect()
+    s_df = spark.createDataFrame(
+        [(r.lat, r.lon) for r in sample], "lat double, lon double"
+    )
+    got = _eng.assign_timezones(s_df, mode="strict").collect()
+    n_match = sum(
+        1
+        for r in got
+        if list(r.tzids) == _oracle.get_overlapping_time_zones(r.lat, r.lon)
+    )
+    zone_match_rate = n_match / max(len(got), 1)
     thr_low = thr.get(max(2, cores // 4))
     thr_high = thr[cores]
     efficiency = thr_high / (4.0 * thr_low)
@@ -157,7 +181,9 @@ def main() -> None:
     ]:
         fn = qs[name]
         fn(spark, sf_dir).count()  # warm-up/plan compile
-        el, _ = timed(lambda f=fn: f(spark, sf_dir).count())
+        el = min(
+            timed(lambda f=fn: f(spark, sf_dir).count())[0] for _ in range(2)
+        )
         queries[name] = round(el, 3)
 
     total = round(sum(queries.values()), 3)
@@ -168,6 +194,7 @@ def main() -> None:
         "queries": queries,
         "sf": sf,
         "rows_assigned": n_rows,
+        "zone_match_rate": zone_match_rate,
         "assign_rows_per_sec": round(thr_high),
         "assign_world454_rows_per_sec": round(n454 / el454),
         "scaling": {
