@@ -61,6 +61,10 @@ def ngram_jaccard_pairs(
         word_shingles(df.select(id_col, text_col), text_col, n)
         .select(id_col, F.explode(F.array_distinct("shingles")).alias("shingle"))
     )
+    # the shingle explode feeds three consumers (sizes + both sides of the
+    # inverted-index self-join); without a persist Spark recomputes the
+    # explode per consumer — at 100 TB that's 3x the scan
+    sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -138,6 +142,9 @@ def minhash_lsh_pairs(
         id_col, *[F.col(f"mh_{i}") for i in range(num_hashes)],
         F.explode(F.array(*band_cols)).alias("bb"),
     ).select(id_col, *[f"mh_{i}" for i in range(num_hashes)], "bb.band", "bb.bucket")
+    # both sides of the bucket self-join share this lineage (shingle
+    # explode + num_hashes aggregates) — persist so it computes once
+    buckets = buckets.persist()
 
     a = buckets.alias("a")
     b2 = buckets.alias("b")
@@ -217,6 +224,7 @@ def simhash_pairs(
             )
         ).alias("b"),
     ).select(id_col, "simhash", "b.blk", "b.key")
+    blocks = blocks.persist()  # shared by both self-join sides
     a, b = blocks.alias("a"), blocks.alias("b")
     return (
         a.join(
@@ -259,6 +267,7 @@ def embedding_neardup_pairs(
         return pd.Series((bits @ weights).astype(np.int64))
 
     sk = df.select(id_col, vec_col, _sketch(F.col(vec_col)).alias("sketch"))
+    sk = sk.persist()  # sketch UDF runs once, not per join side
     a, b = sk.alias("a"), sk.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), lambda x, y: x * y),
