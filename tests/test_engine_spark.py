@@ -129,3 +129,28 @@ def test_distance_and_knn_ops(engine, spark):
     knn = engine.knn_zones(spark.createDataFrame([(4.5, 6.5)], "lat double, lon double"), k=3)
     # Filler contains the point (0 m); Big is 0.5 deg away; Small 1.5 deg
     assert knn.collect()[0].nearest_tzids == ["Zone/Filler", "Zone/Big", "Zone/Small"]
+
+
+def test_artifact_io_error(spark, tmp_path):
+    # reference I2: unreadable archive → "Unable to read time zone data
+    # resource file" (meta present, data missing)
+    import json, os
+    path = str(tmp_path / "broken")
+    os.makedirs(path)
+    json.dump({"version": "1:synth1", "init_region": [0, 0, 1, 1]},
+              open(os.path.join(path, "_index_meta.json"), "w"))
+    with pytest.raises(RuntimeError, match="Unable to read time zone data"):
+        TzEngine.from_artifact(spark, path)
+
+
+def test_pipeline_violations_counter(spark, world):
+    from tzengine.functions import pipeline_violations
+
+    scoped = TzEngine.for_region(spark, world, 4, 4, 5, 5, world_version="synth1")
+    df = spark.createDataFrame(
+        [(4.5, 4.5), (9.0, 9.0), (4.2, 4.8), (0.0, 0.0)], "lat double, lon double"
+    ).coalesce(2)
+    out = scoped.assign_timezones(df, mode="pipeline")
+    stats = pipeline_violations(out).collect()
+    assert sum(r.n_rows for r in stats) == 4
+    assert sum(r.n_violations for r in stats) == 2

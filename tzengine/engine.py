@@ -376,7 +376,12 @@ class TzEngine:
         """Load + version-gate (reference I3 — fails fast before any Spark
         job when the artifact format is incompatible)."""
         meta = indexmod.load_index_meta(path)
-        zones_df = spark.read.parquet(f"{path}/zones")
+        try:
+            zones_df = spark.read.parquet(f"{path}/zones")
+        except Exception as ex:  # reference I2 contract (TimeZoneMap.kt:240-242)
+            raise RuntimeError(
+                "Unable to read time zone data resource file"
+            ) from ex
         rows = zones_df.select(
             "zone_id",
             "polygon_id",

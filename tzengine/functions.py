@@ -47,6 +47,21 @@ def hot_cell_histogram(assigned: DataFrame, top: int = 20) -> DataFrame:
     )
 
 
+def pipeline_violations(assigned: DataFrame) -> DataFrame:
+    """Per-partition out-of-region violation counts in pipeline mode
+    (SURVEY Q3: strict mode raises, pipeline mode nulls + counts).
+    One row per Spark partition: (partition_id, n_rows, n_violations)."""
+    return (
+        assigned.withColumn("__pid", F.spark_partition_id())
+        .groupBy("__pid")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("tzid").isNull().cast("long")).alias("n_violations"),
+        )
+        .withColumnRenamed("__pid", "partition_id")
+    )
+
+
 def zone_shard_sizes(assigned: DataFrame) -> DataFrame:
     """Rows per output shard — balance check for the deterministic
     image→cell→zone-shard assignment."""

@@ -44,6 +44,46 @@ def streaming_cell_counts(
     )
 
 
+def streaming_dedup(
+    stream_df: DataFrame,
+    key_col: str = "phash",
+    id_col: str = "image_id",
+    timeout_conf: str = "NoTimeout",
+) -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState): emit
+    each key's row only the FIRST time it is seen across the whole stream
+    — exact streaming dedup with per-key state (the standard ingest-side
+    duplicate filter for a training-data firehose).
+
+    State per key group: the set of ids already emitted. Grouping on the
+    dedup key hash-distributes state; memory is bounded by distinct keys
+    per partition (at 100 TB one would add a TTL timeout to age state)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = f"{key_col} long, {id_col} string"
+    state_schema = "seen array<string>"
+
+    def dedup_fn(key, pdfs, state: GroupState):
+        seen = set(state.get[0]) if state.exists else set()
+        fresh = []
+        for pdf in pdfs:
+            for v in pdf[id_col]:
+                if v not in seen:
+                    seen.add(v)
+                    fresh.append(v)
+        state.update((list(seen),))
+        yield pd.DataFrame({key_col: [key[0]] * len(fresh), id_col: fresh})
+
+    return (
+        stream_df.groupBy(key_col)
+        .applyInPandasWithState(
+            dedup_fn, out_schema, state_schema, "append", timeout_conf
+        )
+    )
+
+
 def stream_to_resumable(
     engine,
     stream_df: DataFrame,
