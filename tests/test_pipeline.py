@@ -213,3 +213,35 @@ def test_hot_cell_histogram(spark):
     assert hist[0].n + hist[1].n >= 0.28 * 500
     shards = zone_shard_sizes(assigned).collect()
     assert sum(r.n for r in shards) == 500
+
+
+def test_ivf_materialized_partition_pruning(spark, emb, tmp_path):
+    """The materialized IVF table reads only probed centroid partitions
+    (PartitionFilters in the scan — pruning before IO)."""
+    cents = similarity.deterministic_centroids(emb, 8)
+    path = str(tmp_path / "ivf")
+    similarity.write_ivf_index(emb, cents, path)
+    import os
+
+    part_dirs = [d for d in os.listdir(path) if d.startswith("centroid_id=")]
+    assert len(part_dirs) >= 4  # vectors spread over multiple buckets
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = similarity.ivf_search_table(spark, path, queries, cents, k=3, nprobe=2)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan.split(
+        "PartitionFilters"
+    )[1][:200]
+    rows = res.collect()
+    # each query finds itself (its own bucket is always probed first)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.vec_id)
+    assert all(q in by_q[q] for q in by_q)
+    # agrees with the in-memory IVF variant
+    mem = similarity.ivf_topk(emb, queries, cents, k=3, nprobe=2).collect()
+    assert sorted((r.query_id, r.vec_id, r.rank) for r in rows) == sorted(
+        (r.query_id, r.vec_id, r.rank) for r in mem
+    )

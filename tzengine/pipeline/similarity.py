@@ -99,6 +99,66 @@ def deterministic_centroids(
     return np.vstack([np.asarray(r[1], dtype=np.float64) for r in rows])
 
 
+def write_ivf_index(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index as a Parquet table PARTITIONED BY
+    centroid_id — the real scale path: a query probing nprobe buckets
+    reads only those partition directories (partition pruning at the
+    file-listing level, before any IO)."""
+    bucketed = assign_centroids(corpus, centroids, id_col, vec_col)
+    bucketed.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+
+def ivf_search_table(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Search a materialized IVF table: compute the union of probed
+    centroid ids driver-side (queries are broadcast-small by contract),
+    push ``centroid_id IN (...)`` into the scan — Spark prunes unprobed
+    partition directories entirely — then exact cosine + top-k within
+    the probed buckets."""
+    cnorm = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    qrows = queries.select(query_id_col, vec_col).collect()
+    qmat = np.vstack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qmat = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    probes = np.argsort(-(qmat @ cnorm.T), axis=1)[:, :nprobe]
+    probe_set = sorted({int(c) for row in probes for c in row})
+
+    corpus = spark.read.parquet(path).filter(
+        F.col("centroid_id").isin(probe_set)
+    )
+    pairs = [
+        (r[0], [float(x) for x in r[1]], [int(c) for c in probes[i]])
+        for i, r in enumerate(qrows)
+    ]
+    q = spark.createDataFrame(
+        pairs, f"{query_id_col} long, __qvec array<double>, __probes array<int>"
+    ).select(query_id_col, "__qvec", F.explode("__probes").alias("centroid_id"))
+    joined = corpus.join(F.broadcast(q), "centroid_id")
+    scored = joined.withColumn("cosine", _cosine(F.col(vec_col), F.col("__qvec")))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
