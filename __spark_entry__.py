@@ -524,10 +524,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "explode_tokens": r"""
             SELECT doc_id,
-                   len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
-                   list_sum(list_transform(
+                   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                     AS n_tokens,
+                   CAST(list_sum(list_transform(
                      regexp_split_to_array(trim(text), '\s+'),
-                     w -> CAST(ceil(length(w) / 4.0) AS INT))) AS n_tokens_bpe
+                     w -> CAST(ceil(length(w) / 4.0) AS INT))) AS BIGINT)
+                     AS n_tokens_bpe
             FROM documents ORDER BY doc_id
         """,
         "dedup_exact": """

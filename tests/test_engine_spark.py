@@ -154,3 +154,30 @@ def test_pipeline_violations_counter(spark, world):
     stats = pipeline_violations(out).collect()
     assert sum(r.n_rows for r in stats) == 4
     assert sum(r.n_violations for r in stats) == 2
+
+
+def test_uncovered_in_region_point_is_not_a_violation(spark, world):
+    from tzengine.functions import pipeline_violations
+
+    # region extends past the zone world (lat/lon 0..10): (11,11) is
+    # in-region but covered by no zone -> tzid null, in_region true,
+    # NOT a violation; (13,13) is out-of-region -> violation
+    eng = TzEngine.for_region(spark, world, 0, 0, 12, 12, world_version="synth1")
+    df = spark.createDataFrame(
+        [(5.0, 5.0), (11.0, 11.0), (13.0, 13.0)], "lat double, lon double"
+    ).coalesce(1)
+    out = eng.assign_timezones(df, mode="pipeline").collect()
+    by_lat = {r.lat: r for r in out}
+    assert by_lat[5.0].tzid is not None and by_lat[5.0].in_region
+    assert by_lat[11.0].tzid is None and by_lat[11.0].in_region
+    assert by_lat[13.0].tzid is None and not by_lat[13.0].in_region
+    stats = pipeline_violations(
+        eng.assign_timezones(
+            spark.createDataFrame(
+                [(5.0, 5.0), (11.0, 11.0), (13.0, 13.0)],
+                "lat double, lon double",
+            ).coalesce(1),
+            mode="pipeline",
+        )
+    ).collect()
+    assert sum(r.n_violations for r in stats) == 1

@@ -187,3 +187,48 @@ def test_stream_to_resumable_sink(spark, tmp_path):
     back = spark.read.parquet(out_dir)
     assert back.count() == 100
     assert "zone_shard" in back.columns and "tzid" in back.columns
+
+
+def test_ordinal_base_advances_past_dropped_polygons(spark, tmp_path):
+    # A MultiPolygon whose FIRST member is degenerate (dropped by cleanse)
+    # must still advance the next feature's ordinal base by the DECLARED
+    # polygon count — otherwise ordinals collide and the (area, ordinal)
+    # tie-break becomes ambiguous.
+    import json
+    degenerate = [[[0.0, 0.0], [0.0, 0.0], [0.0, 0.0], [0.0, 0.0]]]
+    kept = [[[1.0, 1.0], [2.0, 1.0], [2.0, 2.0], [1.0, 2.0], [1.0, 1.0]]]
+    other = [[[5.0, 5.0], [6.0, 5.0], [6.0, 6.0], [5.0, 6.0], [5.0, 5.0]]]
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature", "properties": {"tzid": "A"},
+             "geometry": {"type": "MultiPolygon",
+                          "coordinates": [degenerate, kept]}},
+            {"type": "Feature", "properties": {"tzid": "B"},
+             "geometry": {"type": "Polygon", "coordinates": other}},
+        ],
+    }
+    path = str(tmp_path / "drop.geojson")
+    json.dump(fc, open(path, "w"))
+    rows = geojson.zones_from_geojson(spark, path).orderBy("ordinal").collect()
+    ords = [r.ordinal for r in rows]
+    assert len(rows) == 2
+    assert len(set(ords)) == 2  # globally unique
+    assert ords == [1, 2]  # A's kept piece at base+1, B starts at base 2
+
+
+def test_geojsonl_fallback_ordinal_is_content_hash(spark, tmp_path):
+    # without feature_ordinal, the fallback must be a deterministic
+    # content hash (crc32), not Python's salted str hash
+    import json
+    import zlib
+    feat = {"type": "Feature", "properties": {"tzid": "Test/Zone"},
+            "geometry": {"type": "Polygon",
+                         "coordinates": [[[0.0, 0.0], [1.0, 0.0],
+                                          [1.0, 1.0], [0.0, 1.0], [0.0, 0.0]]]}}
+    path = str(tmp_path / "one.geojsonl")
+    with open(path, "w") as f:
+        f.write(json.dumps(feat) + "\n")
+    rows = geojson.zones_from_geojsonl(spark, path).collect()
+    expected = zlib.crc32(b"Test/Zone") % (1 << 30)
+    assert [r.ordinal for r in rows] == [expected]

@@ -245,3 +245,22 @@ def test_ivf_materialized_partition_pruning(spark, emb, tmp_path):
     assert sorted((r.query_id, r.vec_id, r.rank) for r in rows) == sorted(
         (r.query_id, r.vec_id, r.rank) for r in mem
     )
+
+
+def test_word_shingles_short_docs_no_crash(spark):
+    # sequence(1, size-(n-1)) on a <n-word doc is a DESCENDING sequence in
+    # Spark and slice(words, 0, n) throws — the guard must yield [] instead
+    df = spark.createDataFrame(
+        [(1, "one"), (2, "two words"), (3, "three words here"),
+         (4, ""), (5, "four words right here")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: list(r.shingles)
+            for r in dedup.word_shingles(df, n=3).collect()}
+    assert rows[1] == [] and rows[2] == []
+    assert rows[3] == ["three words here"]
+    assert rows[4] == []  # split("") -> [""] -> 1 word < 3
+    assert rows[5] == ["four words right", "words right here"]
+    # and the full pair pipelines tolerate short docs end-to-end
+    assert dedup.ngram_jaccard_pairs(df, threshold=0.5).count() == 0
+    assert dedup.minhash_lsh_pairs(df, verify_threshold=0.5).count() == 0

@@ -304,6 +304,11 @@ class TzEngine:
                         "int"
                     ),
                 ).alias("zone_shard"),
+                # in_region distinguishes "outside the initialized region"
+                # (a pipeline-mode violation) from "in region but covered
+                # by no zone" (tzid null, NOT a violation) — the violation
+                # counter must use this, not tzid IS NULL
+                valid_c.alias("in_region"),
             )
             .drop("__tz")
         )

@@ -50,13 +50,17 @@ def hot_cell_histogram(assigned: DataFrame, top: int = 20) -> DataFrame:
 def pipeline_violations(assigned: DataFrame) -> DataFrame:
     """Per-partition out-of-region violation counts in pipeline mode
     (SURVEY Q3: strict mode raises, pipeline mode nulls + counts).
-    One row per Spark partition: (partition_id, n_rows, n_violations)."""
+    One row per Spark partition: (partition_id, n_rows, n_violations).
+
+    Violations are counted from the probe's ``in_region`` flag, NOT from
+    ``tzid IS NULL``: tzid is also null for in-region points no zone
+    covers (valid rows on a non-full-coverage zone set)."""
     return (
         assigned.withColumn("__pid", F.spark_partition_id())
         .groupBy("__pid")
         .agg(
             F.count("*").alias("n_rows"),
-            F.sum(F.col("tzid").isNull().cast("long")).alias("n_violations"),
+            F.sum((~F.col("in_region")).cast("long")).alias("n_violations"),
         )
         .withColumnRenamed("__pid", "partition_id")
     )

@@ -27,6 +27,7 @@ reference preserves through its stable sort).
 from __future__ import annotations
 
 import json
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -88,6 +89,19 @@ def feature_to_pieces(feature: dict, ordinal_base: int) -> list[ZonePiece]:
     return pieces
 
 
+def feature_polygon_count(feature: dict) -> int:
+    """Number of polygons a feature declares (BEFORE cleanse drops) — the
+    ordinal_base advance. Using the declared count, not the surviving
+    piece count, keeps ordinals globally unique even when a MultiPolygon
+    member is dropped as empty (otherwise the next feature's base would
+    collide with this feature's kept pieces and make the (area, ordinal)
+    tie-break ambiguous)."""
+    geometry = feature.get("geometry") or {}
+    if geometry.get("type") == "Polygon":
+        return 1
+    return len(geometry.get("coordinates") or [])
+
+
 def zones_from_geojson(spark: SparkSession, path: str) -> DataFrame:
     """B1 driver path: parse a whole FeatureCollection file (the upstream
     timezone-boundary-builder release shape — one big JSON object, so it
@@ -97,8 +111,10 @@ def zones_from_geojson(spark: SparkSession, path: str) -> DataFrame:
     if fc.get("type") != "FeatureCollection":
         raise ValueError("expected a GeoJSON FeatureCollection")
     pieces: list[ZonePiece] = []
+    base = 0
     for feature in fc.get("features", []):
-        pieces.extend(feature_to_pieces(feature, ordinal_base=len(pieces)))
+        pieces.extend(feature_to_pieces(feature, ordinal_base=base))
+        base += feature_polygon_count(feature)
     return spark.createDataFrame(pieces_to_rows(pieces), schema=ZONES_SCHEMA_DDL)
 
 
@@ -117,12 +133,17 @@ def zones_from_geojsonl(spark: SparkSession, path: str) -> DataFrame:
             out = []
             for line in pdf["value"]:
                 feature = json.loads(line)
-                # stable ordinal: the feature must carry its own index at
-                # world scale; fall back to a hash of the tzid
+                # stable ordinal: the feature must carry its own index
+                # (feature_ordinal) for EXACT reference ingest-order
+                # parity at world scale; the fallback is a seeded content
+                # hash (crc32) — deterministic across processes/sessions
+                # (Python's str hash is salt-randomized and only looks
+                # stable because Spark pins worker PYTHONHASHSEED)
                 props = feature.get("properties") or {}
                 base = props.get("feature_ordinal")
                 if base is None:
-                    base = abs(hash(props.get("tzid", ""))) % (1 << 30)
+                    tzid = str(props.get("tzid", ""))
+                    base = zlib.crc32(tzid.encode("utf-8")) % (1 << 30)
                 for p in feature_to_pieces(feature, ordinal_base=int(base)):
                     out.extend(pieces_to_rows([p]))
             cols = [

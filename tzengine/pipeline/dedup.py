@@ -36,10 +36,23 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Add ``shingles: array<string>`` of word n-grams (JVM-side:
-    split + transform + slice, no Python)."""
+    split + transform + slice, no Python).
+
+    Docs with fewer than ``n`` words yield an EMPTY array (matching the
+    exclusive range the DuckDB oracle uses). The CaseWhen guard matters:
+    sequence(1, size-(n-1)) with a negative stop is a DESCENDING sequence
+    in Spark ([1,0]), and slice(words, 0, n) then throws
+    INVALID_PARAMETER_VALUE.START — CaseWhen branches evaluate lazily per
+    row, so short (and null) docs never reach the sequence."""
     words = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0)))
-    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    n_sh = F.size(words) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    shingles = F.when(n_sh >= 1, grams).otherwise(
+        F.array().cast("array<string>")
+    )
     return df.withColumn("shingles", shingles)
 
 

@@ -30,7 +30,11 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     bpe_ish = F.aggregate(
         words, F.lit(0), lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("int")
     )
-    return df.withColumn("n_tokens", n_words).withColumn("n_tokens_bpe", bpe_ish)
+    # bigint on purpose: DuckDB's len()/list_sum() produce BIGINT/HUGEINT,
+    # so the oracle hash-compare needs matching integer widths both sides
+    return df.withColumn("n_tokens", n_words.cast("long")).withColumn(
+        "n_tokens_bpe", bpe_ish.cast("long")
+    )
 
 
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
