@@ -40,16 +40,16 @@ def test_kill_and_resume_identical(spark, assigned, tmp_path):
     out_a = str(tmp_path / "killed")
     out_b = str(tmp_path / "clean")
 
-    # run A: crash after 1 batch, then resume to completion
+    # run A: crash after 8 promoted units, then resume to completion
     with pytest.raises(tables.AbortForTest):
-        tables.write_resumable(assigned, out_a, batch_size=8, fail_after_batches=1)
+        tables.write_resumable(assigned, out_a, fail_after_units=8)
     partial = tables.committed_units(out_a)
-    assert 0 < len(partial) <= 8
-    snap_a = tables.write_resumable(assigned, out_a, batch_size=8)
+    assert len(partial) == 8
+    snap_a = tables.write_resumable(assigned, out_a)
     assert snap_a["complete"]
 
     # run B: single clean run
-    snap_b = tables.write_resumable(assigned, out_b, batch_size=64)
+    snap_b = tables.write_resumable(assigned, out_b)
     assert snap_b["total_rows"] == snap_a["total_rows"] == 400
 
     # byte-level determinism of CONTENT: identical rows per partition
@@ -76,15 +76,67 @@ def test_resume_skips_committed_units(spark, assigned, tmp_path, capsys):
 def test_manifest_mismatch_rejected(spark, assigned, tmp_path):
     out = str(tmp_path / "mm")
     tables.write_resumable(assigned, out)
+    # re-open a unit >= 10, then resume with input that can't produce it:
+    # the pending unit never appears in staging -> mismatch
+    commits_dir = os.path.join(out, "_commits")
+    victim = next(
+        c for c in sorted(os.listdir(commits_dir))
+        if int(c[len("commit_"):-len(".json")]) >= 10
+    )
+    os.remove(os.path.join(commits_dir, victim))
     other = assigned.filter(F.col("zone_shard") < 10)
     with pytest.raises(ValueError, match="manifest mismatch"):
         tables.write_resumable(other, out)
+    # different partition spec is rejected outright
+    with pytest.raises(ValueError, match="manifest mismatch"):
+        tables.write_resumable(assigned, out, partition_col="cell_id")
 
 
 def test_uncommitted_partitions_invisible(spark, assigned, tmp_path):
     out = str(tmp_path / "inv")
     with pytest.raises(tables.AbortForTest):
-        tables.write_resumable(assigned, out, batch_size=8, fail_after_batches=1)
+        tables.write_resumable(assigned, out, fail_after_units=8)
     back = tables.read_table(spark, out)
     committed_rows = back.count()
     assert 0 < committed_rows < 400  # only committed units readable
+
+
+def test_upstream_plan_evaluated_exactly_once(spark, tmp_path):
+    # VERDICT r1 #3: the old protocol re-evaluated the upstream plan per
+    # batch (writes + metrics + discovery = up to 9 passes). Count actual
+    # evaluations with an accumulator inside the plan: must equal n_rows.
+    out = str(tmp_path / "once")
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf("long")
+    def bump(x):
+        acc.add(1)
+        return x
+
+    df = (
+        spark.range(200)
+        .withColumn("val", bump(F.col("id")))
+        .withColumn("shard", (F.col("id") % 4).cast("int"))
+    )
+    snap = tables.write_resumable(df, out, partition_col="shard")
+    assert snap["complete"] and snap["total_rows"] == 200
+    assert acc.value == 200  # one evaluation, not 2x/9x
+
+
+def test_null_partition_values_are_a_real_unit(spark, tmp_path):
+    # ADVICE r1: NULL partition values must commit (Hive null-partition
+    # unit), not be silently dropped leaving the snapshot incomplete
+    out = str(tmp_path / "nulls")
+    df = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, None), (4, 1), (5, None)],
+        "id long, shard int",
+    )
+    snap = tables.write_resumable(df, out, partition_col="shard")
+    assert snap["complete"] and snap["total_rows"] == 5
+    assert tables.HIVE_NULL in tables.committed_units(out)
+    back = tables.read_table(spark, out)
+    assert back.count() == 5
+    assert back.filter(F.col("shard").isNull()).count() == 2
+    # resume is a no-op (idempotent with the null unit committed)
+    snap2 = tables.write_resumable(df, out, partition_col="shard")
+    assert snap2["complete"] and snap2["committed"] == snap["committed"]

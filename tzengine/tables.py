@@ -18,11 +18,19 @@ Work units are the values of a DETERMINISTIC partition column (e.g.
 ``zone_shard``, itself a pure function of the row — engine._splitmix64),
 so the same input always produces the same unit set and the same rows in
 each unit regardless of cluster size, restarts, or input partitioning.
+NULL partition values are a first-class unit named
+``__HIVE_DEFAULT_PARTITION__`` (Parquet's own convention for null
+partitions) — pipeline-mode out-of-region rows land there instead of
+being silently dropped.
 
-Resume: units with a commit file are skipped entirely (their data is
-final); pending units are (re)written via a staging directory and
-promoted with an atomic rename, so a crash mid-write never leaves a
-half-visible partition.
+Single-pass at any scale: the upstream plan is evaluated EXACTLY ONCE —
+one ``partitionBy`` write of every pending unit into one staging
+directory. Unit discovery falls out of the staging directory listing (no
+``distinct()`` pre-pass), per-unit row counts come from the written
+Parquet footers (no metrics aggregation pass), and each unit is then
+promoted with an atomic rename + commit file. A crash mid-promote never
+leaves a half-visible partition; resume re-runs the plan once, filtered
+to the still-pending units.
 """
 
 from __future__ import annotations
@@ -37,6 +45,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import __version__
+
+#: Parquet/Hive directory name for a NULL partition value.
+HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+_MISMATCH_MSG = (
+    "manifest mismatch: resuming with different input or "
+    "partition spec than the original run"
+)
 
 
 class AbortForTest(Exception):
@@ -58,98 +74,25 @@ def committed_units(out_dir: str) -> set:
     return out
 
 
-def write_resumable(
-    df: DataFrame,
-    out_dir: str,
-    partition_col: str = "zone_shard",
-    batch_size: int = 16,
-    input_lineage: dict | None = None,
-    fail_after_batches: int | None = None,
-) -> dict:
-    """Write ``df`` partitioned by ``partition_col`` with per-partition
-    commits. Returns the snapshot dict. Idempotent: re-running after a
-    crash completes only the missing units.
+def _parquet_dir_stats(path: str) -> tuple[int, int]:
+    """(rows, bytes) of a partition directory, from file metadata only —
+    footer num_rows, no data read and no Spark job."""
+    import pyarrow.parquet as pq
 
-    ``fail_after_batches`` is a test-only fault-injection hook.
-    """
-    spark = df.sparkSession
-    os.makedirs(os.path.join(out_dir, "_commits"), exist_ok=True)
+    rows = 0
+    nbytes = 0
+    for fn in os.listdir(path):
+        if not fn.endswith(".parquet"):
+            continue
+        full = os.path.join(path, fn)
+        rows += pq.ParquetFile(full).metadata.num_rows
+        nbytes += os.path.getsize(full)
+    return rows, nbytes
 
-    # unit discovery: distinct partition values (deterministic column)
-    units = sorted(
-        str(r[0]) for r in df.select(partition_col).distinct().collect()
-    )
-    manifest_file = os.path.join(out_dir, "_manifest.json")
-    if os.path.exists(manifest_file):
-        manifest = json.load(open(manifest_file))
-        if manifest["units"] != units or manifest["partition_col"] != partition_col:
-            raise ValueError(
-                "manifest mismatch: resuming with different input or "
-                "partition spec than the original run"
-            )
-    else:
-        manifest = {
-            "run_id": uuid.uuid4().hex,
-            "engine_version": __version__,
-            "partition_col": partition_col,
-            "units": units,
-            "input": input_lineage or {},
-            "created_unix": time.time(),
-        }
-        with open(manifest_file + ".tmp", "w") as f:
-            json.dump(manifest, f, indent=2)
-        os.replace(manifest_file + ".tmp", manifest_file)
 
+def _snapshot(out_dir: str, manifest: dict) -> dict:
     done = committed_units(out_dir)
-    pending = [u for u in units if u not in done]
-
-    batches = [pending[i : i + batch_size] for i in range(0, len(pending), batch_size)]
-    for bi, batch in enumerate(batches):
-        if fail_after_batches is not None and bi >= fail_after_batches:
-            raise AbortForTest(f"injected failure before batch {bi}")
-        t0 = time.time()
-        staging = os.path.join(out_dir, f"_staging_{manifest['run_id']}_{bi}")
-        sub = df.filter(F.col(partition_col).cast("string").isin(batch))
-        sub.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
-        # per-partition metrics in the same pass shape (cheap agg job)
-        metrics = {
-            str(r["u"]): (r["rows"],)
-            for r in sub.groupBy(F.col(partition_col).cast("string").alias("u"))
-            .agg(F.count("*").alias("rows"))
-            .collect()
-        }
-        elapsed = time.time() - t0
-        for u in batch:
-            src = os.path.join(staging, f"{partition_col}={u}")
-            dst = os.path.join(out_dir, f"{partition_col}={u}")
-            if not os.path.isdir(src):
-                continue  # unit had 0 rows in this filter (shouldn't happen)
-            if os.path.isdir(dst):
-                shutil.rmtree(dst)  # leftover from a crashed, uncommitted try
-            os.replace(src, dst)  # atomic promote
-            nbytes = sum(
-                os.path.getsize(os.path.join(dst, f))
-                for f in os.listdir(dst)
-                if f.endswith(".parquet")
-            )
-            commit = {
-                "unit": u,
-                "run_id": manifest["run_id"],
-                "engine_version": __version__,
-                "rows": int(metrics.get(u, (0,))[0]),
-                "bytes": nbytes,
-                "batch_wall_sec": elapsed,
-                "lineage": manifest["input"],
-                "committed_unix": time.time(),
-            }
-            cpath = _commit_path(out_dir, u)
-            with open(cpath + ".tmp", "w") as f:
-                json.dump(commit, f, indent=2)
-            os.replace(cpath + ".tmp", cpath)
-        shutil.rmtree(staging, ignore_errors=True)
-
-    # snapshot when complete (Iceberg-snapshot analogue)
-    done = committed_units(out_dir)
+    units = manifest["units"]
     snapshot = {
         "run_id": manifest["run_id"],
         "complete": set(units) <= done,
@@ -167,10 +110,117 @@ def write_resumable(
     return snapshot
 
 
+def write_resumable(
+    df: DataFrame,
+    out_dir: str,
+    partition_col: str = "zone_shard",
+    input_lineage: dict | None = None,
+    fail_after_units: int | None = None,
+) -> dict:
+    """Write ``df`` partitioned by ``partition_col`` with per-partition
+    commits. Returns the snapshot dict. Idempotent: re-running after a
+    crash completes only the missing units, and the upstream plan is
+    evaluated exactly once per invocation.
+
+    ``fail_after_units`` is a test-only fault-injection hook: abort after
+    promoting+committing that many units (simulates a driver crash in the
+    middle of the commit loop).
+    """
+    os.makedirs(os.path.join(out_dir, "_commits"), exist_ok=True)
+    manifest_file = os.path.join(out_dir, "_manifest.json")
+    done = committed_units(out_dir)
+
+    manifest: dict | None = None
+    if os.path.exists(manifest_file):
+        manifest = json.load(open(manifest_file))
+        if manifest["partition_col"] != partition_col:
+            raise ValueError(_MISMATCH_MSG)
+        pending = [u for u in manifest["units"] if u not in done]
+        if not pending:
+            return _snapshot(out_dir, manifest)
+        sub = df.filter(
+            ~F.coalesce(
+                F.col(partition_col).cast("string"), F.lit(HIVE_NULL)
+            ).isin(sorted(done))
+        ) if done else df
+        run_id = manifest["run_id"]
+    else:
+        pending = None  # unknown until the staging write lands
+        sub = df
+        run_id = uuid.uuid4().hex
+
+    # THE single evaluation of the upstream plan: all pending units, one
+    # partitionBy write into one staging dir
+    t0 = time.time()
+    staging = os.path.join(out_dir, f"_staging_{run_id}")
+    sub.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+    write_wall = time.time() - t0
+
+    prefix = f"{partition_col}="
+    staged = sorted(
+        d[len(prefix):]
+        for d in os.listdir(staging)
+        if d.startswith(prefix) and os.path.isdir(os.path.join(staging, d))
+    )
+
+    if manifest is None:
+        manifest = {
+            "run_id": run_id,
+            "engine_version": __version__,
+            "partition_col": partition_col,
+            "units": sorted(set(staged) | done),
+            "input": input_lineage or {},
+            "created_unix": time.time(),
+        }
+        with open(manifest_file + ".tmp", "w") as f:
+            json.dump(manifest, f, indent=2)
+        os.replace(manifest_file + ".tmp", manifest_file)
+    else:
+        # the observed units must agree with the manifest: a staged unit
+        # the manifest doesn't know, or a pending unit the input no
+        # longer produces, means the caller resumed with different input
+        unknown = [u for u in staged if u not in set(manifest["units"])]
+        missing = [u for u in (pending or []) if u not in set(staged)]
+        if unknown or missing:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise ValueError(_MISMATCH_MSG)
+
+    # promote + commit per unit (driver-side FS metadata ops only)
+    n_promoted = 0
+    for u in staged:
+        if u in done:
+            continue
+        if fail_after_units is not None and n_promoted >= fail_after_units:
+            raise AbortForTest(f"injected failure after {n_promoted} units")
+        src = os.path.join(staging, f"{partition_col}={u}")
+        dst = os.path.join(out_dir, f"{partition_col}={u}")
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)  # leftover from a crashed, uncommitted try
+        os.replace(src, dst)  # atomic promote
+        rows, nbytes = _parquet_dir_stats(dst)
+        commit = {
+            "unit": u,
+            "run_id": manifest["run_id"],
+            "engine_version": __version__,
+            "rows": rows,
+            "bytes": nbytes,
+            "write_wall_sec": write_wall,
+            "lineage": manifest["input"],
+            "committed_unix": time.time(),
+        }
+        cpath = _commit_path(out_dir, u)
+        with open(cpath + ".tmp", "w") as f:
+            json.dump(commit, f, indent=2)
+        os.replace(cpath + ".tmp", cpath)
+        n_promoted += 1
+    shutil.rmtree(staging, ignore_errors=True)
+
+    return _snapshot(out_dir, manifest)
+
+
 def read_table(spark, out_dir: str) -> DataFrame:
     """Read back only COMMITTED partitions (uncommitted stragglers are
     invisible, like reading an Iceberg snapshot)."""
-    snap = os.path.join(out_dir, "_snapshot.json")
     manifest = json.load(open(os.path.join(out_dir, "_manifest.json")))
     col = manifest["partition_col"]
     done = committed_units(out_dir)
