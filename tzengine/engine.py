@@ -377,6 +377,54 @@ class TzEngine:
         indexmod.save_index_meta(path, self.idx)
 
     @classmethod
+    def from_tar_archive(
+        cls,
+        spark: SparkSession,
+        source,
+        min_lat: float = -90.0,
+        min_lon: float = -180.0,
+        max_lat: float = 90.0,
+        max_lon: float = 180.0,
+        **kw,
+    ) -> "TzEngine":
+        """Build from a REFERENCE-FORMAT tar archive (version marker +
+        FlatBuffers zone entries — the reference's actual on-disk
+        contract, TimeZoneMap.kt:156-243 / Main.kt:100-141). ``source``
+        is a path or binary stream. Version gate and IO-error contract
+        carry the reference's exact messages."""
+        from . import tararchive
+        from .index import validate_region
+
+        validate_region(min_lat, min_lon, max_lat, max_lon)
+        map_version, pieces = tararchive.read_tar_archive(
+            source, min_lat, min_lon, max_lat, max_lon
+        )
+        world_version = (
+            map_version.split(":", 1)[1] if ":" in map_version else map_version
+        )
+        idx = indexmod.compile_index(
+            pieces, min_lat, min_lon, max_lat, max_lon,
+            world_version=world_version, **kw,
+        )
+        return cls(spark, idx)
+
+    def save_tar_archive(self, path: str) -> None:
+        """Write the engine's zone set in the reference archive layout
+        (round-trips through ``from_tar_archive``)."""
+        from . import tararchive
+
+        pieces = [
+            ZonePiece(
+                self.idx.zone_ids[rank],
+                int(self.idx.polygon_ids[rank]),
+                rank,
+                self.idx.piece_rings(rank),
+            )
+            for rank in range(self.idx.n_pieces)
+        ]
+        tararchive.write_tar_archive(pieces, path, self.idx.version)
+
+    @classmethod
     def from_artifact(cls, spark: SparkSession, path: str, **kw) -> "TzEngine":
         """Load + version-gate (reference I3 — fails fast before any Spark
         job when the artifact format is incompatible)."""
