@@ -181,3 +181,86 @@ def test_cover_piece_interior_and_boundary():
     b = cellmod.cell_bounds(cids[interior])
     centers = np.stack([(b[:, 0] + b[:, 2]) / 2, (b[:, 1] + b[:, 3]) / 2], axis=1)
     assert geom.contains_inclusive(centers, rings).all()
+
+
+# --- I12 connected-component split (TimeZoneMap.kt:220-235 flatMap) --------
+
+
+def _cw(ring):
+    r = np.asarray(ring, dtype=float)
+    return r[::-1].copy() if geom.ring_signed_area(r) > 0 else r
+
+
+def test_clip_split_u_shape_two_entries():
+    # U-shaped zone whose bridge is cut off by the region: the reference
+    # flatMap yields one TimeZone entry per connected component
+    from tzengine.zones import ZonePiece
+
+    U = _cw([[0, 0], [0, 4], [4, 4], [4, 0], [3, 0], [3, 3], [1, 3], [1, 0]])
+    piece = ZonePiece("Zone/U", 0, 0, [U])
+    idx = index.compile_index([piece], -1, -1, 2, 5, world_version="t")
+    assert idx.n_pieces == 2
+    assert idx.zone_ids == ["Zone/U", "Zone/U"]
+    for rank in range(2):
+        lo_lon, lo_lat, hi_lon, hi_lat = geom.rings_bbox(idx.piece_rings(rank))
+        assert lo_lat >= -1 - 1e-9 and hi_lat <= 2 + 1e-9
+    # oracle (pure-Python reference semantics) splits identically
+    oracle = OracleMap([piece], -1, -1, 2, 5)
+    assert len(oracle.entries) == 2
+    # both legs still answer; the gap between them does not
+    assert engine_lookup(idx, 1.0, 0.5)[0] == "Zone/U"
+    assert engine_lookup(idx, 1.0, 3.5)[0] == "Zone/U"
+    assert engine_lookup(idx, 1.0, 2.0)[0] is None
+
+
+def test_clip_split_comb_three_entries_and_rank_ties():
+    from tzengine.zones import ZonePiece
+
+    comb = _cw(
+        [[0, 0], [0, 5], [1, 5], [1, 1], [2, 1], [2, 5], [3, 5], [3, 1],
+         [4, 1], [4, 5], [5, 5], [5, 0]]
+    )
+    small = _cw([[0.2, 2.2], [0.2, 2.8], [0.8, 2.8], [0.8, 2.2]])
+    pieces = [
+        ZonePiece("Zone/Comb", 0, 0, [comb]),
+        ZonePiece("Zone/SmallOverlay", 0, 1, [small]),
+    ]
+    idx = index.compile_index(pieces, 2, -1, 9, 6, world_version="t")
+    # three comb teeth + the small overlay = 4 entries; overlay ranks
+    # first (smaller PRE-clip area), teeth stay consecutive
+    assert idx.n_pieces == 4
+    assert idx.zone_ids == [
+        "Zone/SmallOverlay", "Zone/Comb", "Zone/Comb", "Zone/Comb",
+    ]
+    oracle = OracleMap(pieces, 2, -1, 9, 6)
+    assert [z for z, _ in oracle.entries] == idx.zone_ids
+    # overlap ordering: overlay wins inside its rectangle
+    assert engine_lookup(idx, 2.5, 0.5) == ("Zone/SmallOverlay",
+                                            ["Zone/SmallOverlay", "Zone/Comb"])
+
+
+def test_clip_split_hole_cut_open_merges_into_boundary():
+    from tzengine.zones import ZonePiece
+
+    outer = _cw([[0, 0], [0, 6], [6, 6], [6, 0]])
+    hole = np.asarray([[2, 2], [4, 2], [4, 4], [2, 4]], dtype=float)
+    if geom.ring_signed_area(hole) < 0:
+        hole = hole[::-1].copy()
+    piece = ZonePiece("Zone/Donut", 0, 0, [outer, hole])
+    # clip at lon<=3 cuts through the hole: one component whose boundary
+    # includes the opened hole notch
+    idx = index.compile_index([piece], -1, -1, 7, 3, world_version="t")
+    assert idx.n_pieces == 1
+    assert engine_lookup(idx, 1.0, 1.0)[0] == "Zone/Donut"
+    assert engine_lookup(idx, 3.0, 2.5)[0] is None  # inside the old hole
+    oracle = OracleMap([piece], -1, -1, 7, 3)
+    assert len(oracle.entries) == 1
+
+
+def test_scoped_world_entry_count_matches_oracle():
+    # testKnownZones analogue (TimeZoneMapTest.java:281-303): entry count
+    # and ids of a scoped build match the reference-semantics oracle
+    for region in [(3.5, 3.5, 8.5, 8.5), (0.5, 0.5, 9.5, 9.5), (4, 4, 5, 5)]:
+        idx = index.compile_index(WORLD, *region, world_version="synth1")
+        oracle = OracleMap(WORLD, *region)
+        assert idx.zone_ids == [z for z, _ in oracle.entries], region

@@ -141,35 +141,46 @@ class TzEngine:
                     for ring in row["rings"]
                 ]
                 lo_lon, lo_lat, hi_lon, hi_lat = geom.rings_bbox(rings)
-                if not (
+                if (
                     lo_lat >= min_lat
                     and hi_lat <= max_lat
                     and lo_lon >= min_lon
                     and hi_lon <= max_lon
                 ):
-                    rings = geom.clip_rings_to_box(
+                    comps = [rings]
+                else:
+                    # same split as compile_index I12 — component order
+                    # must agree with the driver-side enumeration
+                    comps = geom.clip_rings_to_box_split(
                         rings, min_lon, min_lat, max_lon, max_lat
                     )
-                    if not rings or geom.polygon_area2d(rings) <= 0:
+                for ci, comp in enumerate(comps):
+                    if not comp or geom.polygon_area2d(comp) <= 0:
                         continue
-                cids, interior = indexmod.cover_piece(rings, depth=depth)
-                for c, flag in zip(cids.astype(np.int64), interior):
-                    out_rows.append((int(row["ordinal"]), int(c), bool(flag)))
+                    cids, interior = indexmod.cover_piece(comp, depth=depth)
+                    for c, flag in zip(cids.astype(np.int64), interior):
+                        out_rows.append(
+                            (int(row["ordinal"]), ci, int(c), bool(flag))
+                        )
             return pd.DataFrame(
-                out_rows, columns=["ordinal", "cell_id", "interior"]
+                out_rows, columns=["ordinal", "comp", "cell_id", "interior"]
             )
 
         res = (
             zones_df.repartition(32, "zone_id", "polygon_id")
             .groupBy("zone_id", "polygon_id")
-            .applyInPandas(cover_group, "ordinal int, cell_id long, interior boolean")
+            .applyInPandas(
+                cover_group,
+                "ordinal int, comp int, cell_id long, interior boolean",
+            )
             .collect()
         )
-        entries: dict[int, tuple[list, list]] = {}
+        entries: dict[tuple[int, int], tuple[list, list]] = {}
         for r in res:
-            entries.setdefault(r.ordinal, ([], []))
-            entries[r.ordinal][0].append(np.uint64(r.cell_id))
-            entries[r.ordinal][1].append(r.interior)
+            key = (r.ordinal, r.comp)
+            entries.setdefault(key, ([], []))
+            entries[key][0].append(np.uint64(r.cell_id))
+            entries[key][1].append(r.interior)
         return {
             k: (np.array(v[0], dtype=np.uint64), np.array(v[1], dtype=bool))
             for k, v in entries.items()

@@ -225,6 +225,156 @@ def clip_rings_to_box(
     return out
 
 
+def _clip_halfplane_split(
+    rings: list[np.ndarray], coord: int, line: float, keep_ge: bool
+) -> list[np.ndarray]:
+    """Clip an even-odd multi-ring polygon (outer rings CW, holes CCW)
+    against one half-plane, SPLITTING the result into separate closed
+    rings where the region disconnects along the clip line and MERGING
+    rings that become connected (e.g. a hole cut open by the line joins
+    the outer boundary).
+
+    Topology comes from Jordan parity: every ring crossing contributes an
+    entry/exit point on the clip line; sorted along the line, the
+    intervals between consecutive crossings alternate outside/inside the
+    polygon, and each inside interval links one run's exit to another
+    run's entry. Walking those links closes the output rings. This is
+    what the reference's esri ``OperatorIntersection`` + polygon-cursor
+    flatMap produces (TimeZoneMap.kt:220-235), restricted to an
+    axis-aligned clip region.
+    """
+    inside_of = (
+        (lambda v: v >= line) if keep_ge else (lambda v: v <= line)
+    )
+    untouched: list[np.ndarray] = []
+    runs: list[dict] = []  # pts: list[(x,y)], t_entry, t_exit
+    other = 1 - coord
+
+    for ring in rings:
+        pts = np.asarray(ring, dtype=np.float64)
+        vals = pts[:, coord]
+        inside = inside_of(vals)
+        if inside.all():
+            untouched.append(pts)
+            continue
+        if not inside.any():
+            continue
+        n = len(pts)
+        # rotate so iteration starts at a run head (outside -> inside)
+        start = next(i for i in range(n) if inside[i] and not inside[i - 1])
+        cur: dict | None = None
+        for k in range(n + 1):
+            i = (start + k) % n
+            prv = (start + k - 1) % n
+            a, b = pts[prv], pts[i]
+            if inside[i] and not inside[prv]:  # entry
+                t = (line - a[coord]) / (b[coord] - a[coord])
+                ep = a + t * (b - a)
+                ep[coord] = line
+                cur = {"pts": [ep], "t_entry": ep[other]}
+                if not np.array_equal(ep, b):
+                    cur["pts"].append(b.copy())
+            elif inside[i] and inside[prv]:
+                if cur is not None and k < n:
+                    cur["pts"].append(b.copy())
+            elif not inside[i] and inside[prv]:  # exit
+                t = (line - a[coord]) / (b[coord] - a[coord])
+                xp = a + t * (b - a)
+                xp[coord] = line
+                if cur is not None:
+                    if not np.array_equal(xp, cur["pts"][-1]):
+                        cur["pts"].append(xp)
+                    cur["t_exit"] = xp[other]
+                    runs.append(cur)
+                    cur = None
+
+    if not runs:
+        return untouched
+
+    # crossing list along the line: (t, is_entry, run_id); stable order
+    crossings = []
+    for k, r in enumerate(runs):
+        crossings.append((r["t_entry"], 1, k))
+        crossings.append((r["t_exit"], 0, k))
+    crossings.sort(key=lambda c: (c[0], c[1]))
+    # parity: interval before the first crossing is outside the polygon;
+    # inside intervals are (c[0],c[1]), (c[2],c[3]), ...
+    link: dict[tuple[int, int], tuple[int, int]] = {}
+    for m in range(0, len(crossings), 2):
+        a_key = (crossings[m][1], crossings[m][2])
+        b_key = (crossings[m + 1][1], crossings[m + 1][2])
+        link[a_key] = b_key
+        link[b_key] = a_key
+
+    out: list[np.ndarray] = list(untouched)
+    visited: set[int] = set()
+    for k0 in range(len(runs)):
+        if k0 in visited:
+            continue
+        ring_pts: list[np.ndarray] = []
+        start_key = (1, k0)  # the walk begins at k0's entry point
+        k, forward = k0, True
+        while True:
+            visited.add(k)
+            seq = runs[k]["pts"] if forward else runs[k]["pts"][::-1]
+            ring_pts.extend(seq)
+            end_key = (0, k) if forward else (1, k)  # the side we leave on
+            nxt = link[end_key]
+            if nxt == start_key:
+                break  # closed back to the start
+            nk, nr = nxt
+            if nr in visited and nr != k0:
+                break  # defensive: malformed topology, close what we have
+            k, forward = nr, (nk == 1)  # forward when we land on an entry
+        arr = np.asarray(ring_pts)
+        # drop consecutive duplicates (entry/exit coinciding with vertices)
+        if len(arr) >= 2:
+            dup = np.all(arr == np.roll(arr, 1, axis=0), axis=1)
+            arr = arr[~dup]
+        if len(arr) >= 3:
+            out.append(arr)
+    return out
+
+
+def clip_rings_to_box_split(
+    rings: list[np.ndarray], xmin: float, ymin: float, xmax: float, ymax: float
+) -> list[list[np.ndarray]]:
+    """Clip an even-odd polygon (ring 0 + siblings, outer CW / holes CCW)
+    to a box and split the result into CONNECTED COMPONENTS — one
+    ``[outer, holes...]`` ring list per component, mirroring the
+    reference's per-polygon flatMap of the clip cursor
+    (TimeZoneMap.kt:220-235). Components are ordered by descending
+    |area| of their outer ring for determinism."""
+    cur = [np.asarray(r, dtype=np.float64) for r in rings]
+    for coord, line, keep_ge in (
+        (0, xmin, True),
+        (0, xmax, False),
+        (1, ymin, True),
+        (1, ymax, False),
+    ):
+        cur = _clip_halfplane_split(cur, coord, line, keep_ge)
+        if not cur:
+            return []
+    keep = [r for r in cur if len(r) >= 3 and abs(ring_signed_area(r)) > 0.0]
+    outers = [r for r in keep if ring_signed_area(r) <= 0]  # CW convention
+    holes = [r for r in keep if ring_signed_area(r) > 0]
+    comps: list[list[np.ndarray]] = [[o] for o in outers]
+    comps.sort(key=lambda c: -abs(ring_signed_area(c[0])))
+    for h in holes:
+        pt = h[:1]
+        best = None
+        best_area = None
+        for c in comps:
+            if points_in_rings_evenodd(pt, *_segments([c[0]]))[0]:
+                a = abs(ring_signed_area(c[0]))
+                if best is None or a < best_area:
+                    best, best_area = c, a
+        if best is not None:
+            best.append(h)
+        # a hole with no containing outer was fully consumed by the clip
+    return comps
+
+
 # ---------------------------------------------------------------------------
 # Nearest boundary coordinate (planar) + geodesic distance (WGS84).
 # ---------------------------------------------------------------------------

@@ -197,9 +197,10 @@ def compile_index(
 ) -> CompiledIndex:
     """Driver-side compile, mirroring TimeZoneMap.kt:156-243 step order.
 
-    ``cover_entries`` (ordinal -> (cell_ids, interior)) lets the
-    distributed compile path (applyInPandas over zone pieces) inject
-    pre-computed coverings; when None, coverings are computed inline.
+    ``cover_entries`` ((ordinal, component) -> (cell_ids, interior)) lets
+    the distributed compile path (applyInPandas over zone pieces) inject
+    pre-computed coverings per clip component; when None, coverings are
+    computed inline.
 
     ``precomputed_areas`` (ordinal -> deg^2) overrides the area sort key —
     needed when reloading an artifact whose geometry is already clipped:
@@ -224,17 +225,24 @@ def compile_index(
     # I11: sort by PRE-CLIP planar area, stable ordinal tie-break
     kept.sort(key=lambda p: (sort_area(p), p.ordinal))
 
-    # I12: clip to region (pass through when fully contained)
-    clipped: list[tuple[ZonePiece, list[np.ndarray]]] = []
+    # I12: clip to region (pass through when fully contained), then SPLIT
+    # multi-piece clip results into one entry per connected component —
+    # the reference's flatMap over the intersection cursor
+    # (TimeZoneMap.kt:220-235). Components of one source piece stay
+    # consecutive, preserving the (pre-clip area, ordinal) sort position.
+    clipped: list[tuple[ZonePiece, int, list[np.ndarray]]] = []
     for p in kept:
         lo_lon, lo_lat, hi_lon, hi_lat = p.bbox
         if lo_lat >= min_lat and hi_lat <= max_lat and lo_lon >= min_lon and hi_lon <= max_lon:
-            rings = p.rings
+            clipped.append((p, 0, p.rings))
         else:
-            rings = geom.clip_rings_to_box(p.rings, min_lon, min_lat, max_lon, max_lat)
-            if not rings or geom.polygon_area2d(rings) <= 0:
-                continue  # reference drops empty clip results (pointCount>0)
-        clipped.append((p, rings))
+            comps = geom.clip_rings_to_box_split(
+                p.rings, min_lon, min_lat, max_lon, max_lat
+            )
+            for ci, rings in enumerate(comps):
+                if not rings or geom.polygon_area2d(rings) <= 0:
+                    continue  # reference drops empties (pointCount>0)
+                clipped.append((p, ci, rings))
 
     # flatten geometry to CSR (rings + flat segment arrays per piece)
     zone_ids, polygon_ids, areas = [], [], []
@@ -248,7 +256,7 @@ def compile_index(
     ent_seg_idx_parts: list[np.ndarray] = []
     per_level: dict[int, dict[str, list]] = {}
 
-    for rank, (p, rings) in enumerate(clipped):
+    for rank, (p, ci, rings) in enumerate(clipped):
         zone_ids.append(p.zone_id)
         polygon_ids.append(p.polygon_id)
         areas.append(sort_area(p))  # PRE-clip area: the documented sort key
@@ -262,8 +270,8 @@ def compile_index(
         seg_b_list.append(sb)
         seg_offsets.append(seg_base + len(sa))
 
-        if cover_entries is not None and p.ordinal in cover_entries:
-            cids, interior = cover_entries[p.ordinal]
+        if cover_entries is not None and (p.ordinal, ci) in cover_entries:
+            cids, interior = cover_entries[(p.ordinal, ci)]
         else:
             cids, interior = cover_piece(rings, depth=depth)
         res = cells.cell_res(cids)

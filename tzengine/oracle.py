@@ -43,6 +43,8 @@ class OracleMap:
             kept.append(p)
         kept.sort(key=lambda p: (p.area2d, p.ordinal))
 
+        # I12 incl. the flatMap split: each connected component of a clip
+        # result is its own entry (TimeZoneMap.kt:220-235)
         self.entries: list[tuple[str, list[np.ndarray]]] = []
         for p in kept:
             lo_lon, lo_lat, hi_lon, hi_lat = p.bbox
@@ -52,14 +54,14 @@ class OracleMap:
                 and lo_lon >= min_lon
                 and hi_lon <= max_lon
             ):
-                rings = p.rings
-            else:
-                rings = geom.clip_rings_to_box(
-                    p.rings, min_lon, min_lat, max_lon, max_lat
-                )
+                self.entries.append((p.zone_id, p.rings))
+                continue
+            for rings in geom.clip_rings_to_box_split(
+                p.rings, min_lon, min_lat, max_lon, max_lat
+            ):
                 if not rings or geom.polygon_area2d(rings) <= 0:
                     continue
-            self.entries.append((p.zone_id, rings))
+                self.entries.append((p.zone_id, rings))
 
     def get_overlapping_time_zones(self, lat: float, lon: float) -> list[str]:
         min_lat, min_lon, max_lat, max_lon = self.init_region
