@@ -76,3 +76,38 @@ def test_distributed_compile_parity_at_scale(spark, world):
     a = local.assign_timezones(pts).orderBy("lat", "lon").collect()
     b = dist.assign_timezones(pts).orderBy("lat", "lon").collect()
     assert a == b
+
+
+def test_knn_pruned_matches_dense_and_is_sublinear(idx):
+    # pruned kNN must equal the dense n_points x n_pieces sweep exactly,
+    # while touching far fewer pieces (VERDICT r1 #6 scale fix)
+    rng = np.random.default_rng(7)
+    lats = rng.uniform(-60, 60, 64)
+    lons = rng.uniform(-60, 60, 64)
+    got, n_eval = probe.knn_zones_batch(idx, lats, lons, k=3, return_stats=True)
+
+    # dense reference (the round-1 semantics), computed inline
+    from tzengine import geom
+    pts = np.stack([lons, lats], axis=1)
+    dists = np.zeros((len(lats), idx.n_pieces))
+    for rank in range(idx.n_pieces):
+        rings = idx.piece_rings(rank)
+        inside = geom.contains_inclusive(pts, rings)
+        d = geom.distance_from_boundary(pts, rings)
+        dists[:, rank] = np.where(inside, 0.0, d)
+    ranks = np.arange(idx.n_pieces)
+    expect = []
+    for i in range(len(lats)):
+        order = np.lexsort((ranks, dists[i]))
+        seen, names = set(), []
+        for r in order:
+            zid = idx.zone_ids[r]
+            if zid not in seen:
+                seen.add(zid)
+                names.append(zid)
+            if len(names) >= 3:
+                break
+        expect.append(names)
+    assert got == expect
+    dense_evals = len(lats) * idx.n_pieces
+    assert n_eval < dense_evals / 10, (n_eval, dense_evals)

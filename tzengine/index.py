@@ -55,6 +55,10 @@ class CompiledIndex:
     zone_ids: list[str]  # per piece, rank order
     polygon_ids: np.ndarray  # int32 per piece
     areas: np.ndarray  # float64 pre-clip area (deg^2) per piece
+    # per-piece POST-clip bbox (lo_lon, lo_lat, hi_lon, hi_lat) — the kNN
+    # pruning bound (geodesic lower bound to the bbox beats exact
+    # boundary-distance evaluation of far pieces)
+    piece_bbox: np.ndarray  # float64 (P, 4)
     # clipped ring geometry, CSR piece -> rings -> vertices
     ring_offsets: np.ndarray  # int64 (P+1,)
     vert_offsets: np.ndarray  # int64 (R+1,)
@@ -246,6 +250,7 @@ def compile_index(
 
     # flatten geometry to CSR (rings + flat segment arrays per piece)
     zone_ids, polygon_ids, areas = [], [], []
+    piece_bbox = []
     ring_offsets = [0]
     vert_offsets = [0]
     verts_list = []
@@ -260,6 +265,7 @@ def compile_index(
         zone_ids.append(p.zone_id)
         polygon_ids.append(p.polygon_id)
         areas.append(sort_area(p))  # PRE-clip area: the documented sort key
+        piece_bbox.append(geom.rings_bbox(rings))
         for r in rings:
             verts_list.append(r)
             vert_offsets.append(vert_offsets[-1] + len(r))
@@ -328,6 +334,11 @@ def compile_index(
         zone_ids=zone_ids,
         polygon_ids=np.array(polygon_ids, dtype=np.int32),
         areas=np.array(areas, dtype=np.float64),
+        piece_bbox=(
+            np.array(piece_bbox, dtype=np.float64)
+            if piece_bbox
+            else np.zeros((0, 4))
+        ),
         ring_offsets=np.array(ring_offsets, dtype=np.int64),
         vert_offsets=np.array(vert_offsets, dtype=np.int64),
         verts=np.vstack(verts_list) if verts_list else np.zeros((0, 2)),

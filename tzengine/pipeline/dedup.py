@@ -62,13 +62,25 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
-    """EXACT n-gram Jaccard near-dup pairs.
+    """n-gram Jaccard near-dup pairs (EXACT when ``max_doc_freq`` is None).
 
     Candidate pairs come only from docs sharing >=1 shingle (equi-join on
     the shingle — a distributed inverted index), then |A∩B| is a count per
     pair and |A∪B| = |A|+|B|-|A∩B|. All shuffles are on hash-distributed
     keys; no crossJoin anywhere.
+
+    ``max_doc_freq`` bounds the quadratic blowup of hot shingles: a
+    shingle shared by d documents contributes d·(d-1)/2 pair rows to its
+    join bucket, so one ubiquitous shingle ("a a a" in 1M docs) is 10^12
+    rows in ONE bucket — AQE skew handling cannot fix a genuinely
+    quadratic bucket. With a cap, shingles with document frequency above
+    it are dropped from the shingle universe BEFORE the self-join
+    (standard near-dup practice), bounding every bucket at
+    max_doc_freq²/2 pairs; Jaccard is then computed over the capped
+    universe (numerator and denominators consistently), making it an
+    approximation that ignores only ubiquitous shingles.
     """
     sh = (
         word_shingles(df.select(id_col, text_col), text_col, n)
@@ -78,6 +90,15 @@ def ngram_jaccard_pairs(
     # inverted-index self-join); without a persist Spark recomputes the
     # explode per consumer — at 100 TB that's 3x the scan
     sh = sh.persist()
+    if max_doc_freq is not None:
+        # hot shingles are FEW by definition (df > cap) — broadcast anti-join
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti").persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -36,6 +36,42 @@ def _cosine(vec_a, vec_b):
     return dot / (na * nb)
 
 
+def _topk_per_query(
+    scored: DataFrame, k: int, id_col: str, query_id_col: str
+) -> DataFrame:
+    """Two-phase exact top-k over a scored corpus.
+
+    A single window over ``query_id`` ships EVERY scored corpus row to
+    one reducer per query — with 5 queries over a 100 TB corpus, 5 tasks
+    each receive 1/5 of all scores. Phase 1 instead ranks within
+    (input partition, query): the shuffle key space is
+    n_partitions × n_queries, so the exchange spreads uniformly over all
+    reducers and each emits at most k rows per query. Phase 2 ranks the
+    surviving ≤ k × n_partitions rows per query — trivially small.
+    Results are identical to the single-window form (same
+    (cosine desc, id asc) total order both phases)."""
+    local = (
+        scored.withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__lrk",
+            F.row_number().over(
+                Window.partitionBy("__pid", query_id_col).orderBy(
+                    F.col("cosine").desc(), F.col(id_col).asc()
+                )
+            ),
+        )
+        .filter(F.col("__lrk") <= k)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -45,7 +81,9 @@ def brute_force_topk(
     query_id_col: str = "query_id",
 ) -> DataFrame:
     """Exact cosine top-k per query. ``queries`` columns:
-    (query_id, embedding). Output: (query_id, vec_id, cosine, rank)."""
+    (query_id, embedding). Output: (query_id, vec_id, cosine, rank).
+    The query set is broadcast; scoring is one JVM-side narrow pass over
+    the corpus; top-k is two-phase (no per-query reducer hotspot)."""
     q = F.broadcast(
         queries.select(
             F.col(query_id_col), F.col(vec_col).alias("__qvec")
@@ -53,14 +91,7 @@ def brute_force_topk(
     )
     joined = corpus.select(id_col, vec_col).crossJoin(q)
     scored = joined.withColumn("cosine", _cosine(F.col(vec_col), F.col("__qvec")))
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cosine", "rank")
-    )
+    return _topk_per_query(scored, k, id_col, query_id_col)
 
 
 def assign_centroids(
@@ -149,14 +180,7 @@ def ivf_search_table(
     ).select(query_id_col, "__qvec", F.explode("__probes").alias("centroid_id"))
     joined = corpus.join(F.broadcast(q), "centroid_id")
     scored = joined.withColumn("cosine", _cosine(F.col(vec_col), F.col("__qvec")))
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cosine", "rank")
-    )
+    return _topk_per_query(scored, k, id_col, query_id_col)
 
 
 def ivf_topk(
@@ -196,11 +220,4 @@ def ivf_topk(
     )
     joined = bucketed.join(F.broadcast(q), "centroid_id")
     scored = joined.withColumn("cosine", _cosine(F.col(vec_col), F.col("__qvec")))
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cosine", "rank")
-    )
+    return _topk_per_query(scored, k, id_col, query_id_col)

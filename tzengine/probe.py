@@ -271,37 +271,83 @@ def distance_from_boundary_batch(
 
 
 def knn_zones_batch(
-    idx: CompiledIndex, lats: np.ndarray, lons: np.ndarray, k: int
-) -> list[list[str]]:
+    idx: CompiledIndex,
+    lats: np.ndarray,
+    lons: np.ndarray,
+    k: int,
+    return_stats: bool = False,
+):
     """kNN fallback ordering (north_star): zones ordered by boundary
     distance; pieces containing the point have distance 0 and tie-break by
     area rank, so for covered points the head of the list agrees with
-    getOverlappingTimeZones. Dedupes zone ids (nearest piece wins)."""
+    getOverlappingTimeZones. Dedupes zone ids (nearest piece wins).
+
+    Scale path: pieces are evaluated in ascending order of a GUARANTEED
+    geodesic lower bound to their bbox (geom.bbox_geodesic_lower_bound);
+    a point stops as soon as it holds k distinct zones and the next
+    piece's bound exceeds its k-th zone distance — every remaining piece
+    can then neither enter nor reorder the top-k. Exact piece evaluations
+    become sub-linear in the piece count (asserted in tests) instead of
+    the former dense n_points × n_pieces sweep.
+
+    ``return_stats=True`` additionally returns the number of exact piece
+    evaluations performed (pruning evidence for tests/bench)."""
     lats = np.asarray(lats, dtype=np.float64)
     lons = np.asarray(lons, dtype=np.float64)
     pts = np.stack([lons, lats], axis=1)
     n = len(lats)
+    n_pieces = idx.n_pieces
 
-    # distance of every point to every piece boundary; 0 when inside
-    dists = np.zeros((n, idx.n_pieces))
-    for rank in range(idx.n_pieces):
-        rings = idx.piece_rings(rank)
-        inside = geom.contains_inclusive(pts, rings)
-        d = geom.distance_from_boundary(pts, rings)
-        dists[:, rank] = np.where(inside, 0.0, d)
+    lb = geom.bbox_geodesic_lower_bound(lats, lons, idx.piece_bbox)  # (n,P)
+    order = np.argsort(lb, axis=1, kind="stable")
+
+    # per-point state: best (dist, rank) per zone id
+    zone_best: list[dict[str, tuple[float, int]]] = [dict() for _ in range(n)]
+    ptr = np.zeros(n, dtype=np.int64)  # next position in each point's order
+    done = np.zeros(n, dtype=bool)
+    n_eval = 0
+
+    def kth_dist(i: int) -> float:
+        zb = zone_best[i]
+        if len(zb) < k:
+            return np.inf
+        return sorted(d for d, _ in zb.values())[k - 1]
+
+    while True:
+        # gather this round's (point → piece) work, grouped by piece so
+        # each piece's geometry is evaluated once per round, vectorized
+        groups: dict[int, list[int]] = {}
+        for i in np.nonzero(~done)[0]:
+            if ptr[i] >= n_pieces:
+                done[i] = True
+                continue
+            r = int(order[i, ptr[i]])
+            if lb[i, r] > kth_dist(i):
+                done[i] = True  # no remaining piece can change the top-k
+                continue
+            groups.setdefault(r, []).append(int(i))
+            ptr[i] += 1
+        if not groups:
+            break
+        for r, idxs in groups.items():
+            sub = pts[idxs]
+            rings = idx.piece_rings(r)
+            inside = geom.contains_inclusive(sub, rings)
+            d = np.where(inside, 0.0, geom.distance_from_boundary(sub, rings))
+            n_eval += len(idxs)
+            zid = idx.zone_ids[r]
+            for j, i in enumerate(idxs):
+                cur = zone_best[i].get(zid)
+                cand = (float(d[j]), r)
+                if cur is None or cand < cur:
+                    zone_best[i][zid] = cand
 
     out = []
-    ranks = np.arange(idx.n_pieces)
     for i in range(n):
-        order = np.lexsort((ranks, dists[i]))
-        seen = set()
-        names = []
-        for r in order:
-            zid = idx.zone_ids[r]
-            if zid not in seen:
-                seen.add(zid)
-                names.append(zid)
-            if len(names) >= k:
-                break
-        out.append(names)
+        ranked = sorted(
+            ((d, r, z) for z, (d, r) in zone_best[i].items())
+        )
+        out.append([z for _, _, z in ranked[:k]])
+    if return_stats:
+        return out, n_eval
     return out
