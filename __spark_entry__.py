@@ -214,7 +214,7 @@ def q_quality_score(spark, sf_dir):
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return quality_score(d).select(
-        "doc_id", "n_words", "quality_score"
+        "doc_id", F.col("n_words").cast("long").alias("n_words"), "quality_score"
     ).orderBy("doc_id")
 
 
@@ -586,8 +586,66 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
         """,
-        # quality_score / lang_id intentionally omitted (regex/profile
-        # dialect differences make a portable oracle brittle); the driver
-        # records rows-only checks for them and the pytest suite pins the
-        # exact values.
+        # quality_score: \w and \s classes agree between Java regex and
+        # RE2 for this ASCII corpus; integer/integer division yields
+        # double in both engines; the composite score is a sum of 0.25
+        # steps (exact in binary)
+        "quality_score": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\s+') AS words,
+                     length(text) AS n_chars,
+                     length(text)
+                       - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+                       AS punct
+              FROM documents),
+            m AS (
+              SELECT doc_id, n_chars, punct,
+                     len(words) AS n_words,
+                     len(list_intersect(words,
+                       ['the','a','and','of','to','in','is',
+                        'it','that','for','on','with'])) AS n_stop
+              FROM t)
+            SELECT doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   (CASE WHEN n_words >= 10 AND n_words <= 100000
+                         THEN 0.25 ELSE 0.0 END
+                    + CASE WHEN (n_chars - n_words + 1)
+                                  / greatest(n_words, 1) >= 2.0
+                            AND (n_chars - n_words + 1)
+                                  / greatest(n_words, 1) <= 12.0
+                           THEN 0.25 ELSE 0.0 END
+                    + CASE WHEN punct / greatest(n_chars, 1) <= 0.2
+                           THEN 0.25 ELSE 0.0 END
+                    + CASE WHEN n_stop / greatest(n_words, 1) >= 0.01
+                           THEN 0.25 ELSE 0.0 END)::DOUBLE AS quality_score
+            FROM m ORDER BY doc_id
+        """,
+        # lang_id: per-language profile-word occurrence counts; argmax
+        # tie-break = lexicographically larger language id (the Spark
+        # side's array_max over (hits, lang) structs)
+        "lang_id": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS w
+              FROM documents),
+            h AS (
+              SELECT doc_id,
+                     len(list_filter(w, x -> list_contains(
+                       ['der','die','das','und','ist','ein','zu'], x))) AS hde,
+                     len(list_filter(w, x -> list_contains(
+                       ['the','a','and','of','to','in','is'], x))) AS hen,
+                     len(list_filter(w, x -> list_contains(
+                       ['el','la','los','y','de','un','es'], x))) AS hes,
+                     len(list_filter(w, x -> list_contains(
+                       ['le','la','et','les','des','un','est'], x))) AS hfr
+              FROM t)
+            SELECT doc_id,
+                   CASE WHEN greatest(hde, hen, hes, hfr) = 0 THEN 'und'
+                        WHEN hfr = greatest(hde, hen, hes, hfr) THEN 'fr'
+                        WHEN hes = greatest(hde, hen, hes, hfr) THEN 'es'
+                        WHEN hen = greatest(hde, hen, hes, hfr) THEN 'en'
+                        ELSE 'de' END AS lang_pred
+            FROM h ORDER BY doc_id
+        """,
     }
