@@ -44,3 +44,61 @@ def test_streaming_dedup_across_microbatches(spark, tmp_path):
     got = sorted((r.phash, r.image_id) for r in rows)
     # duplicates ("a" under key 1, "c" under key 2) emitted exactly once
     assert got == [(1, "a"), (1, "b"), (1, "d"), (2, "c"), (3, "e")]
+
+
+def test_streaming_dedup_ttl_expires_state(spark, tmp_path):
+    # with a processing-time TTL, ids older than the TTL age out of state
+    # and are re-emitted (bounded-state contract, VERDICT r1 #10)
+    import time
+
+    src = str(tmp_path / "ttl_src")
+    import os
+
+    os.makedirs(src)
+    schema = "phash long, image_id string"
+    spark.createDataFrame([(1, "a")], schema).coalesce(1).write.parquet(
+        src + "/b0", mode="overwrite"
+    )
+    import glob, shutil
+
+    os.makedirs(src + "/all")
+    shutil.copy(glob.glob(src + "/b0/part-*.parquet")[0], src + "/all/00.parquet")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/all")
+    )
+    out = streaming.streaming_dedup(stream, ttl=500)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_ttl")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    def feed(name, rows_data):
+        spark.createDataFrame(rows_data, schema).coalesce(1).write.parquet(
+            src + f"/{name}", mode="overwrite"
+        )
+        shutil.copy(
+            glob.glob(src + f"/{name}/part-*.parquet")[0],
+            src + f"/all/{name}.parquet",
+        )
+
+    try:
+        q.processAllAvailable()
+        assert spark.sql("select * from dedup_ttl").count() == 1
+        time.sleep(2.0)  # let the 500ms TTL lapse in processing time
+        # key 1's entry for "a" is older than the TTL when the next batch
+        # touches the key -> dropped from state, "a" re-emitted
+        feed("b1", [(1, "a"), (1, "b")])
+        q.processAllAvailable()
+        rows = sorted(
+            (r.phash, r.image_id)
+            for r in spark.sql("select * from dedup_ttl").collect()
+        )
+    finally:
+        q.stop()
+    # "a" appears twice: once originally, once after its state expired
+    assert rows == [(1, "a"), (1, "a"), (1, "b")]
