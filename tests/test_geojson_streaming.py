@@ -232,3 +232,34 @@ def test_geojsonl_fallback_ordinal_is_content_hash(spark, tmp_path):
     rows = geojson.zones_from_geojsonl(spark, path).collect()
     expected = zlib.crc32(b"Test/Zone") % (1 << 30)
     assert [r.ordinal for r in rows] == [expected]
+
+
+def test_geojson_self_intersecting_ring_repaired(spark, tmp_path):
+    # a bowtie outer ring (classic invalid real-world GeoJSON) must be
+    # untangled into its lobes at ingest (B4, OperatorSimplify analogue)
+    import json
+    bow = [[0.0, 0.0], [2.0, 2.0], [2.0, 0.0], [0.0, 2.0], [0.0, 0.0]]
+    fc = {"type": "FeatureCollection", "features": [
+        {"type": "Feature", "properties": {"tzid": "Zone/Bow"},
+         "geometry": {"type": "Polygon", "coordinates": [bow]}},
+        {"type": "Feature", "properties": {"tzid": "Zone/Back"},
+         "geometry": {"type": "Polygon", "coordinates": [
+             [[-1.0, -1.0], [4.0, -1.0], [4.0, 4.0], [-1.0, 4.0], [-1.0, -1.0]]]}},
+    ]}
+    path = str(tmp_path / "bow.geojson")
+    json.dump(fc, open(path, "w"))
+    df = geojson.zones_from_geojson(spark, path)
+    rows = df.collect()
+    bow_rows = [r for r in rows if r.zone_id == "Zone/Bow"]
+    assert len(bow_rows) == 1 and len(bow_rows[0].rings) == 2  # two lobes
+    eng = TzEngine.for_everywhere(spark, df, world_version="bow1")
+    pts = spark.createDataFrame(
+        [(1.0, 0.5), (1.0, 1.5), (1.8, 1.0), (3.0, 3.0)],
+        "lat double, lon double",
+    )
+    got = {(r.lat, r.lon): r.tzid
+           for r in eng.assign_timezones(pts, mode="strict").collect()}
+    assert got[(1.0, 0.5)] == "Zone/Bow"   # left lobe (lon 0.5)
+    assert got[(1.0, 1.5)] == "Zone/Bow"   # right lobe
+    assert got[(1.8, 1.0)] == "Zone/Back"  # waist gap above the crossing
+    assert got[(3.0, 3.0)] == "Zone/Back"

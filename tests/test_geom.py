@@ -151,3 +151,47 @@ def test_segments_intersect_box():
     assert geom.segments_intersect_box(seg_a, seg_b, 0.0, 0.0, 5.0, 0.99) is False
     # box crossing the bottom edge
     assert geom.segments_intersect_box(seg_a, seg_b, 1.2, 0.5, 1.4, 1.5)
+
+
+# --- B4 self-intersection repair (esri OperatorSimplify analogue) ----------
+
+
+def test_split_bowtie_into_lobes():
+    import numpy as np
+    from tzengine import geom
+
+    bow = np.array([[0, 0], [2, 2], [2, 0], [0, 2]], dtype=float)
+    loops = geom.split_self_intersections(bow)
+    assert len(loops) == 2
+    areas = sorted(abs(geom.ring_signed_area(l)) for l in loops)
+    assert areas == [1.0, 1.0]  # two unit triangles
+    # containment over the repaired loops: both lobes inside, waist point
+    # (the crossing) on the boundary, outside stays outside
+    assert geom.contains_inclusive(np.array([[0.5, 1.0]]), loops)[0]
+    assert geom.contains_inclusive(np.array([[1.5, 1.0]]), loops)[0]
+    assert not geom.contains_inclusive(np.array([[1.0, 1.8]]), loops)[0]
+
+
+def test_split_spike_removed():
+    import numpy as np
+    from tzengine import geom
+
+    spike = np.array(
+        [[0, 0], [4, 0], [4, 4], [2, 4], [2, 6], [2, 4], [0, 4]], dtype=float
+    )
+    loops = geom.split_self_intersections(spike)
+    assert len(loops) == 1
+    # spike tip erased: no vertex appears twice (the [2,6] backtrack and
+    # one duplicated [2,4] are gone; a collinear midpoint may remain)
+    uniq = {tuple(v) for v in loops[0]}
+    assert len(uniq) == len(loops[0]) and (2.0, 6.0) not in uniq
+    assert abs(geom.ring_signed_area(loops[0])) == 16.0
+
+
+def test_split_simple_ring_unchanged():
+    import numpy as np
+    from tzengine import geom
+
+    sq = np.array([[0, 0], [0, 3], [3, 3], [3, 0]], dtype=float)
+    loops = geom.split_self_intersections(sq)
+    assert len(loops) == 1 and np.array_equal(loops[0], sq)

@@ -39,10 +39,13 @@ from . import geom
 from .zones import ZONES_SCHEMA_DDL, ZonePiece, pieces_to_rows
 
 
-def _normalize_ring(coords: list, want_cw: bool) -> np.ndarray | None:
-    """GeoJSON ring [[lon, lat], ...] → (V,2) float32-widened (lon,lat)
-    array with enforced orientation, no closing vertex, no consecutive
-    duplicates."""
+def _normalize_ring(coords: list, want_cw: bool) -> list[np.ndarray]:
+    """GeoJSON ring [[lon, lat], ...] → list of SIMPLE (V,2)
+    float32-widened (lon,lat) loops with enforced orientation, no closing
+    vertex, no consecutive duplicates. Self-intersecting input (bowtie /
+    figure-eight / spike — the real-world GeoJSON defects esri
+    ``OperatorSimplify`` repairs in cleanseRegion, builder/.../Main.kt:
+    44-60) is untangled into its simple loops; degenerate loops vanish."""
     arr = np.asarray(coords, dtype=np.float64)[:, :2]
     arr = geom.f32(arr)
     if len(arr) >= 2 and np.array_equal(arr[0], arr[-1]):
@@ -51,11 +54,14 @@ def _normalize_ring(coords: list, want_cw: bool) -> np.ndarray | None:
         dup = np.all(arr == np.roll(arr, 1, axis=0), axis=1)
         arr = arr[~dup]
     if len(arr) < 3:
-        return None
-    is_ccw = geom.ring_signed_area(arr) > 0  # shoelace positive = CCW
-    if is_ccw == want_cw:
-        arr = arr[::-1].copy()
-    return arr
+        return []
+    out = []
+    for loop in geom.split_self_intersections(arr):
+        is_ccw = geom.ring_signed_area(loop) > 0  # shoelace positive = CCW
+        if is_ccw == want_cw:
+            loop = loop[::-1].copy()
+        out.append(loop)
+    return out
 
 
 def feature_to_pieces(feature: dict, ordinal_base: int) -> list[ZonePiece]:
@@ -78,9 +84,11 @@ def feature_to_pieces(feature: dict, ordinal_base: int) -> list[ZonePiece]:
     for poly_id, poly in enumerate(polys):
         rings = []
         for ri, ring_coords in enumerate(poly):
-            r = _normalize_ring(ring_coords, want_cw=(ri == 0))
-            if r is not None:
-                rings.append(r)
+            # a repaired ring may yield several simple loops (bowtie →
+            # two lobes); all keep the ring's role orientation and the
+            # even-odd PIP treats them exactly as esri's simplified
+            # multi-path polygon would
+            rings.extend(_normalize_ring(ring_coords, want_cw=(ri == 0)))
         if not rings or geom.polygon_area2d(rings) <= 0:
             continue  # B5
         pieces.append(

@@ -767,3 +767,116 @@ def bbox_geodesic_lower_bound(
         a = _haversine_angle(lats, np.zeros_like(dlon), cl, dlon)
         ang = a if ang is None else np.minimum(ang, a)
     return R_GEO_LB * ang
+
+
+# ---------------------------------------------------------------------------
+# Ring self-intersection repair (builder B4 — esri OperatorSimplify
+# analogue, builder/.../Main.kt:44-60).
+# ---------------------------------------------------------------------------
+
+
+def _seg_intersections(ring: np.ndarray) -> dict[int, list[tuple[float, np.ndarray]]]:
+    """Proper/touching intersections between non-adjacent segments of one
+    ring: {segment index: [(t along segment, point), ...]}. Collinear
+    overlaps are ignored (degenerate inputs beyond the repair scope)."""
+    n = len(ring)
+    a = ring
+    b = np.roll(ring, -1, axis=0)
+    out: dict[int, list[tuple[float, np.ndarray]]] = {}
+    # row-vectorized over j for each i (bbox prefilter first): O(n) numpy
+    # passes instead of an O(n^2) interpreter loop
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    r_all = b - a
+    for i in range(n - 2):
+        j0 = i + 2
+        j1 = n if i > 0 else n - 1  # segment n-1 is adjacent to segment 0
+        if j0 >= j1:
+            continue
+        js = np.arange(j0, j1)
+        # bbox overlap prefilter
+        ok = ~(
+            (hi[js, 0] < lo[i, 0])
+            | (lo[js, 0] > hi[i, 0])
+            | (hi[js, 1] < lo[i, 1])
+            | (lo[js, 1] > hi[i, 1])
+        )
+        js = js[ok]
+        if not len(js):
+            continue
+        p, r = a[i], r_all[i]
+        q, s = a[js], r_all[js]
+        denom = r[0] * s[:, 1] - r[1] * s[:, 0]
+        qp = q - p
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (qp[:, 0] * s[:, 1] - qp[:, 1] * s[:, 0]) / denom
+            u = (qp[:, 0] * r[1] - qp[:, 1] * r[0]) / denom
+        hit = (
+            (denom != 0.0)
+            & (t >= -1e-12) & (t <= 1 + 1e-12)
+            & (u >= -1e-12) & (u <= 1 + 1e-12)
+            # endpoint/endpoint contacts are ordinary shared vertices,
+            # not crossings
+            & ~(((t < 1e-12) | (t > 1 - 1e-12)) & ((u < 1e-12) | (u > 1 - 1e-12)))
+        )
+        for jj, tt, uu in zip(js[hit], t[hit], u[hit]):
+            pt = p + np.clip(tt, 0.0, 1.0) * r  # ONE shared coordinate
+            out.setdefault(i, []).append((float(tt), pt))
+            out.setdefault(int(jj), []).append((float(uu), pt))
+    return out
+
+
+def split_self_intersections(ring: np.ndarray, min_area: float = 1e-14) -> list[np.ndarray]:
+    """Untangle a possibly self-intersecting ring into SIMPLE loops
+    (public even-odd untangling: insert crossing points as vertices, then
+    pop a loop every time the walk revisits a crossing coordinate).
+    Figure-eights split into their lobes, spikes and zero-area loops are
+    dropped (reference: esri ``OperatorSimplify`` in cleanseRegion,
+    builder/.../Main.kt:44-60 — regions empty after cleansing are
+    filtered). A simple ring comes back unchanged (fast path)."""
+    ring = np.asarray(ring, dtype=np.float64)
+    cross = _seg_intersections(ring)
+
+    # rebuild the cycle with crossing vertices inserted in order
+    cycle: list[tuple[tuple[float, float], bool]] = []  # (coord, is_crossing)
+    n = len(ring)
+    for i in range(n):
+        cycle.append(((float(ring[i][0]), float(ring[i][1])), False))
+        for t, pt in sorted(cross.get(i, []), key=lambda x: x[0]):
+            cycle.append(((round(float(pt[0]), 12), round(float(pt[1]), 12)), True))
+
+    loops: list[np.ndarray] = []
+    path: list[tuple[float, float]] = []
+    pos: dict[tuple[float, float], int] = {}
+
+    def emit(pts: list[tuple[float, float]]) -> None:
+        arr = np.asarray(pts, dtype=np.float64)
+        if len(arr) >= 2:
+            dup = np.all(arr == np.roll(arr, 1, axis=0), axis=1)
+            arr = arr[~dup]
+        # spike (backtrack) removal: a vertex whose neighbors coincide is
+        # a zero-area appendage esri simplify would erase
+        while len(arr) >= 3:
+            tip = np.all(
+                np.roll(arr, 1, axis=0) == np.roll(arr, -1, axis=0), axis=1
+            )
+            if not tip.any():
+                break
+            i = int(np.nonzero(tip)[0][0])
+            arr = np.delete(arr, [i, (i + 1) % len(arr)], axis=0)
+        if len(arr) >= 3 and abs(ring_signed_area(arr)) > min_area:
+            loops.append(arr)
+
+    for coord, is_crossing in cycle:
+        key = coord
+        if is_crossing and key in pos:
+            start = pos[key]
+            emit(path[start:])
+            for c in path[start + 1 :]:
+                pos.pop(c, None)
+            path = path[: start + 1]  # the crossing stays on the outer path
+        else:
+            path.append(key)
+            pos[key] = len(path) - 1
+    emit(path)
+    return loops
