@@ -165,6 +165,9 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    # the signatures feed the bucket explode AND two verify joins —
+    # persist so the shingle explode + 32 aggregates compute once
+    sig = sig.persist()
 
     band_cols = []
     for b in range(bands):
@@ -172,13 +175,15 @@ def minhash_lsh_pairs(
         band_cols.append(
             F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bucket"))
         )
+    # the candidate self-join carries ONLY (id, band, bucket): shuffling
+    # all num_hashes signature columns through the bands-times-exploded
+    # join costs ~bands x num_hashes longs per doc per side; joining the
+    # signatures back onto the (few) surviving pairs is ~8x fewer bytes
+    # through the big exchange
     buckets = sig.select(
-        id_col, *[F.col(f"mh_{i}") for i in range(num_hashes)],
+        F.col(id_col),
         F.explode(F.array(*band_cols)).alias("bb"),
-    ).select(id_col, *[f"mh_{i}" for i in range(num_hashes)], "bb.band", "bb.bucket")
-    # both sides of the bucket self-join share this lineage (shingle
-    # explode + num_hashes aggregates) — persist so it computes once
-    buckets = buckets.persist()
+    ).select(id_col, "bb.band", "bb.bucket")
 
     a = buckets.alias("a")
     b2 = buckets.alias("b")
@@ -192,15 +197,27 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            *[
-                (F.col(f"a.mh_{i}") == F.col(f"b.mh_{i}")).cast("int").alias(f"eq_{i}")
-                for i in range(num_hashes)
-            ],
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    est = sum(F.col(f"eq_{i}") for i in range(num_hashes)) / F.lit(num_hashes)
-    out = pairs.withColumn("est_jaccard", est).select("id_a", "id_b", "est_jaccard")
+    sa = sig.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"mh_{i}").alias(f"a_mh_{i}") for i in range(num_hashes)],
+    )
+    sb = sig.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"mh_{i}").alias(f"b_mh_{i}") for i in range(num_hashes)],
+    )
+    est = sum(
+        (F.col(f"a_mh_{i}") == F.col(f"b_mh_{i}")).cast("int")
+        for i in range(num_hashes)
+    ) / F.lit(num_hashes)
+    out = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", est)
+        .select("id_a", "id_b", "est_jaccard")
+    )
     if verify_threshold is not None:
         out = out.filter(F.col("est_jaccard") >= verify_threshold)
     return out
