@@ -393,6 +393,33 @@ def q_hot_cells(spark, sf_dir):
     return hot_cell_histogram(assigned, top=20)
 
 
+def q_tar_archive_roundtrip(spark, sf_dir):
+    """Reference archive-format round-trip (B7/B9 + I2/I3/I6/I7): write
+    the synthetic world in the reference tar layout (version marker +
+    FlatBuffers entries), reload it through the version gate + envelope
+    prune, and assign points with the reloaded engine. Rows-only (binary
+    format, no SQL analogue); byte-level parity is pinned in
+    tests/test_tararchive.py incl. the reference's own fixtures."""
+    import tempfile
+
+    from tzengine.zones import synthetic_world as _sw
+
+    key = ("tar", id(spark))
+    if key not in _ENGINES:
+        path = os.path.join(tempfile.gettempdir(), "tz_entry_world.tar")
+        from tzengine import tararchive
+
+        tararchive.write_tar_archive(_sw(), path, "1:entrytar")
+        _ENGINES[key] = TzEngine.from_tar_archive(spark, path)
+    pts = _events_points(spark, sf_dir).limit(2000)
+    out = _ENGINES[key].assign_timezones(pts, mode="strict")
+    return (
+        out.groupBy("tzid")
+        .agg(F.count("*").alias("n"))
+        .orderBy("tzid")
+    )
+
+
 def q_tiling_roundtrip(spark, sf_dir):
     """Raster → vector → expand round-trip summary per zone piece."""
     from tzengine import tiling
@@ -440,6 +467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "ivf_topk": q_ivf_topk,
         "fingerprint": q_fingerprint,
+        "tar_archive_roundtrip": q_tar_archive_roundtrip,
         "tiling_roundtrip": q_tiling_roundtrip,
         "assign_bigworld": q_assign_bigworld,
         "image_features": q_image_features,
