@@ -248,15 +248,54 @@ def q_tpch_q1(spark, sf_dir):
 
 
 def q_assign_full_world(spark, sf_dir):
-    """Full synthetic world (holes, islands, enclaves, multipolygons) —
-    correctness is pinned by the pytest oracle suite; the driver check
-    here is rows-only."""
+    """Full synthetic world (holes, islands, enclaves, overlaps,
+    multipolygons). Every piece ring is an axis-aligned rectangle on the
+    float32 grid, so the boundary-inclusive even-odd containment IS
+    ANSI-SQL-expressible with the exact f32-widened constants — the
+    flagship spatial join gets a DuckDB value-hash oracle (cell_id /
+    zone_shard are xxhash64-derived and checked in pytest instead)."""
     pts = _events_points(spark, sf_dir)
     out = _engine(spark).assign_timezones(pts, mode="strict")
     return out.select(
         "event_id", "tzid", F.concat_ws("|", "tzids").alias("tzids_str"),
-        "cell_id", "zone_shard",
-    )
+        F.size("tzids").alias("n_zones"),
+    ).orderBy("event_id")
+
+
+def _full_world_contains_sql() -> list[tuple[str, str]]:
+    """(zone_name, containment predicate SQL) per piece in rank order
+    (pre-clip area asc, ordinal ties), generated from the same pieces the
+    engine ingests — constants are the exact f32-widened doubles.
+
+    Boundary-inclusive even-odd over axis-aligned rings:
+    contained := on any ring edge OR strictly inside an odd number of
+    rings (holes flip out, islands flip back in)."""
+    from tzengine.zones import synthetic_world
+    from tzengine import geom
+
+    pieces = sorted(synthetic_world(), key=lambda p: (p.area2d, p.ordinal))
+    out = []
+    for p in pieces:
+        on_bnd = []
+        strict = []
+        for r in p.rings:
+            lo_lon, lo_lat, hi_lon, hi_lat = geom.rings_bbox([r])
+            between = (
+                f"(lon >= {lo_lon!r} AND lon <= {hi_lon!r} "
+                f"AND lat >= {lo_lat!r} AND lat <= {hi_lat!r})"
+            )
+            st = (
+                f"(lon > {lo_lon!r} AND lon < {hi_lon!r} "
+                f"AND lat > {lo_lat!r} AND lat < {hi_lat!r})"
+            )
+            on_bnd.append(f"({between} AND NOT {st})")
+            strict.append(f"CAST({st} AS INT)")
+        pred = (
+            "(" + " OR ".join(on_bnd)
+            + f" OR ((({' + '.join(strict)}) % 2) = 1))"
+        )
+        out.append((p.zone_id, pred))
+    return out
 
 
 def q_distance_boundary(spark, sf_dir):
@@ -476,6 +515,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _full_world_oracle_sql() -> str:
+    zp = _full_world_contains_sql()
+    first = (
+        "CASE "
+        + " ".join(f"WHEN {pred} THEN '{name}'" for name, pred in zp)
+        + " END"
+    )
+    all_str = (
+        "concat_ws('|', "
+        + ", ".join(f"CASE WHEN {pred} THEN '{name}' END" for name, pred in zp)
+        + ")"
+    )
+    n = " + ".join(f"CAST({pred} AS INT)" for _, pred in zp)
+    return f"""
+        WITH pts AS (SELECT event_id,
+                            (event_id % 1987) / 200.0 AS lat,
+                            (event_id * 7 % 1993) / 200.0 AS lon
+                     FROM events)
+        SELECT event_id,
+               {first} AS tzid,
+               {all_str} AS tzids_str,
+               {n} AS n_zones
+        FROM pts ORDER BY event_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     rect_case = """
         CASE
@@ -614,6 +679,10 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
         """,
+        # full synthetic world: even-odd + boundary-inclusive containment
+        # over axis-aligned f32-grid rectangles, generated from the same
+        # pieces the engine ingests
+        "assign_full_world": _full_world_oracle_sql(),
         # quality_score: \w and \s classes agree between Java regex and
         # RE2 for this ASCII corpus; integer/integer division yields
         # double in both engines; the composite score is a sum of 0.25
