@@ -88,6 +88,46 @@ def main() -> None:
         )
     )
 
+    # 4. two-phase top-k: phase-1 window keyed by (partition id, query)
+    from tzengine.pipeline.similarity import brute_force_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    topk = brute_force_topk(emb, q, k=5)
+    sections.append(
+        (
+            "Two-phase ANN top-k (no per-query reducer hotspot)",
+            "Phase 1's Window partitions by `(__pid, query_id)` — the "
+            "shuffle key space is n_partitions x n_queries so the "
+            "exchange spreads uniformly and emits at most k rows per "
+            "(partition, query); phase 2's Window over `query_id` ranks "
+            "only those survivors. A single window over `query_id` would "
+            "ship EVERY scored corpus row to one reducer per query.",
+            formatted(topk),
+        )
+    )
+
+    # 5. minhash-LSH candidate join: narrow (id, band, bucket) shuffle
+    from tzengine.pipeline.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lsh = minhash_lsh_pairs(docs, verify_threshold=0.5)
+    sections.append(
+        (
+            "MinHash-LSH candidate generation (narrow bucket shuffle)",
+            "The bucket self-join exchanges ONLY `(doc_id, band, bucket)` "
+            "(3 columns) on both sides; the 32 signature columns join "
+            "back onto the few surviving pairs afterwards. Signatures "
+            "persist once (InMemoryTableScan) feeding the explode and "
+            "both verify joins.",
+            formatted(lsh),
+        )
+    )
+
     out = ["# PLANS — physical-plan evidence (generated by scripts/dump_plans.py)\n"]
     out.append(
         "Regenerate after planner-relevant changes: "
