@@ -191,6 +191,17 @@ def q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(d, threshold=0.8).orderBy("id_a", "id_b")
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over the exact n-gram near-dup pairs: every
+    doc mapped to the min id of its duplicate cluster (iterative label
+    propagation — the keep/drop decision step of a dedup pipeline)."""
+    from tzengine.pipeline.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_pairs(d, threshold=0.8)
+    return dedup_clusters(d.select("doc_id"), pairs).orderBy("doc_id")
+
+
 def q_ann_topk(spark, sf_dir):
     """Brute-force cosine top-k (double-precision both sides; rank only —
     no float column in the compared output)."""
@@ -400,6 +411,25 @@ def q_image_features(spark, sf_dir):
     return image_features(df).orderBy("image_id")
 
 
+def q_phash_neardup(spark, sf_dir):
+    """Image near-dup pairs on the perceptual hash (4-block pigeonhole
+    bucketing + exact bit_count verify) — rows-only (phash values come
+    from the in-Python fixture generator)."""
+    from tzengine.pipeline.multimodal import phash_neardup_pairs
+
+    base = spark.range(2000).select(
+        F.concat(F.lit("img"), F.col("id")).alias("image_id"),
+        F.xxhash64(F.col("id")).alias("phash"),
+    )
+    dup = base.limit(10).select(
+        F.concat(F.col("image_id"), F.lit("_d")).alias("image_id"),
+        F.col("phash").bitwiseXOR(F.lit(2)).alias("phash"),
+    )
+    return phash_neardup_pairs(base.unionByName(dup), max_dist=2).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def q_payload_verify(spark, sf_dir):
     """Per-row payload fidelity (input_hint invariant): decoded-pixel
     exact/PSNR>=40dB + caption equality + phash stability, aggregated."""
@@ -494,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline (SQL-oracled)
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "ann_topk": q_ann_topk,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
@@ -507,6 +538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "fingerprint": q_fingerprint,
         "tar_archive_roundtrip": q_tar_archive_roundtrip,
+        "phash_neardup": q_phash_neardup,
         "tiling_roundtrip": q_tiling_roundtrip,
         "assign_bigworld": q_assign_bigworld,
         "image_features": q_image_features,
@@ -653,6 +685,38 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
             ORDER BY id_a, id_b
+        """,
+        "dedup_clusters": r"""
+            WITH RECURSIVE
+            sh AS (
+              SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                         range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+                         i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))
+                         AS shingle
+                FROM documents)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+            prs AS (
+              SELECT id_a, id_b FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE CAST(n_inter AS DOUBLE)
+                      / (sa.n_sh + sb.n_sh - n_inter) >= 0.8),
+            edges AS (SELECT id_a AS a, id_b AS b FROM prs
+                      UNION SELECT id_b, id_a FROM prs),
+            reach(node, lbl) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.a, reach.lbl FROM edges e JOIN reach ON e.b = reach.node
+            )
+            SELECT node AS doc_id, min(lbl) AS canonical_id
+            FROM reach GROUP BY node ORDER BY doc_id
         """,
         "ann_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

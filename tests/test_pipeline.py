@@ -311,3 +311,45 @@ def test_topk_two_phase_plan_shape(spark, emb):
     # identity hits rank 1 with cosine ~1
     first = {r.query_id: r.vec_id for r in rows if r.rank == 1}
     assert first == {0: 0, 1: 1, 2: 2}
+
+
+def test_dedup_clusters_label_propagation(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(1, 13)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (5, 6), (6, 7), (10, 11)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r.doc_id: r.canonical_id
+        for r in dedup.dedup_clusters(nodes, pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4, 7: 4,
+                   8: 8, 9: 9, 10: 10, 11: 10, 12: 12}
+
+
+def test_phash_neardup_pairs(spark):
+    from tzengine.fixtures import geo_images_df
+
+    base = geo_images_df(spark, 20, with_bytes=False, partitions=2)
+    first_id = base.limit(3).collect()[0].image_id
+    # inject: one exact phash copy and two 1-bit flips
+    dup = (
+        base.limit(3)
+        .withColumn(
+            "phash",
+            F.when(F.col("image_id") == first_id, F.col("phash")).otherwise(
+                F.col("phash").bitwiseXOR(F.lit(1))
+            ),
+        )
+        .withColumn("image_id", F.concat(F.col("image_id"), F.lit("_d")))
+    )
+    allimg = base.unionByName(dup)
+    pairs = multimodal.phash_neardup_pairs(allimg, max_dist=3).collect()
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    # each injected row pairs with its own source (exact copy at 0, the
+    # bit-flips at 1); other near pairs from the low-entropy fixture
+    # hashes may legitimately appear too
+    srcs = [r.image_id for r in base.limit(3).collect()]
+    assert got[(srcs[0], srcs[0] + "_d")] == 0
+    assert got[(srcs[1], srcs[1] + "_d")] == 1
+    assert got[(srcs[2], srcs[2] + "_d")] == 1

@@ -346,3 +346,64 @@ def embedding_neardup_pairs(
             "cosine",
         )
     )
+
+
+def dedup_clusters(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs → one canonical id per
+    document (the step that turns pairwise dedup output into keep/drop
+    decisions). Returns (id_col, canonical_id) for EVERY node; singletons
+    map to themselves; canonical_id = min id in the component.
+
+    Spark-first iterative label propagation: each round every node takes
+    the min label among itself and its neighbors (one equi-join + one
+    groupBy per round, all map-side-combinable), stopping when a round
+    changes nothing. Rounds needed = graph diameter — near-dup clusters
+    are shallow (pairs all share content), so this converges in a few
+    rounds where a driver-side union-find would collect every edge."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).persist()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("canonical_id")
+    )
