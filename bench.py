@@ -119,9 +119,12 @@ def _assign_pinned(cores: int, sf_dir: str) -> tuple[float, int]:
 
 def _assign_only_child(cores: int, sf_dir: str) -> None:
     """Child entry: pin BEFORE the JVM launches so every descendant
-    (JVM, pyspark.daemon, UDF workers) inherits the N-core budget."""
+    (JVM, pyspark.daemon, UDF workers) inherits the N-core budget.
+    Pins the HIGHEST-numbered cores: cpu0 (and neighbors) concentrate
+    kernel/IRQ work, which would bias small-N runs low."""
     try:
-        os.sched_setaffinity(0, set(range(cores)))
+        total = os.cpu_count() or cores
+        os.sched_setaffinity(0, set(range(max(0, total - cores), total)))
     except (AttributeError, OSError):
         pass  # non-Linux fallback: unpinned (over-reports low-N throughput)
     spark = build_session(cores)
@@ -148,11 +151,13 @@ def main() -> None:
     thr = {}
     n_rows = 0
     el_high = None
-    # two independent pinned sessions per core count; best wins (session-
-    # level noise on this shared host is the dominant variance source)
+    # independent pinned sessions per core count; best wins (session-
+    # level noise on this shared host is the dominant variance source).
+    # Small-N runs get an extra session: with few pinned cores a single
+    # noisy neighbor thread skews the whole measurement.
     for c in ladder:
         best_el = None
-        for _attempt in range(2):
+        for _attempt in range(3 if c < cores else 2):
             el, n_rows = _assign_pinned(c, sf_dir)
             best_el = el if best_el is None else min(best_el, el)
         thr[c] = n_rows / best_el
