@@ -111,3 +111,28 @@ def test_knn_pruned_matches_dense_and_is_sublinear(idx):
     assert got == expect
     dense_evals = len(lats) * idx.n_pieces
     assert n_eval < dense_evals / 10, (n_eval, dense_evals)
+
+
+def test_distributed_compile_index_arrays_identical(spark, world):
+    # stronger than assignment parity: the distributed blob path must
+    # produce bit-identical index arrays (same kernels, same assembly)
+    from tzengine.engine import TzEngine
+    from tzengine.zones import pieces_to_df
+
+    local = TzEngine.for_region(spark, world, -50, -50, 50, 50,
+                                world_version="big1")
+    dist = TzEngine.for_region(spark, pieces_to_df(spark, world),
+                               -50, -50, 50, 50,
+                               world_version="big1", distributed=True)
+    a, b = local.idx, dist.idx
+    assert a.zone_ids == b.zone_ids
+    for field in ["polygon_ids", "areas", "piece_bbox", "ring_offsets",
+                  "vert_offsets", "verts", "seg_offsets", "seg_a", "seg_b",
+                  "ent_rank", "ent_interior", "ent_center", "ent_seg_off",
+                  "ent_seg_idx"]:
+        np.testing.assert_array_equal(getattr(a, field), getattr(b, field),
+                                      err_msg=field)
+    assert sorted(a.levels) == sorted(b.levels)
+    for lvl in a.levels:
+        for x, y in zip(a.levels[lvl], b.levels[lvl]):
+            np.testing.assert_array_equal(x, y)

@@ -81,7 +81,6 @@ class TzEngine:
         TimeZoneMap.kt:184-196)."""
         indexmod.validate_region(min_lat, min_lon, max_lat, max_lon)
 
-        cover_entries = None
         if isinstance(zones, DataFrame):
             pruned = zones.filter(
                 ~(
@@ -92,8 +91,12 @@ class TzEngine:
                 )
             )
             if distributed:
-                cover_entries = cls._distributed_cover(
-                    pruned, min_lat, min_lon, max_lat, max_lon, depth
+                # scale path: clip + covering + flattening all run on
+                # executors; ONLY compact compiled-piece blobs cross to
+                # the driver (no nested-Row ring geometry collect)
+                return cls._from_distributed_compile(
+                    spark, pruned, min_lat, min_lon, max_lat, max_lon,
+                    world_version, depth,
                 )
             pieces = rows_to_pieces(
                 pruned.select("zone_id", "polygon_id", "ordinal", "rings").collect()
@@ -109,7 +112,6 @@ class TzEngine:
             max_lon,
             world_version=world_version,
             depth=depth,
-            cover_entries=cover_entries,
         )
         return cls(spark, idx)
 
@@ -123,68 +125,84 @@ class TzEngine:
             spark, zones, -90.0, -180.0, 90.0, 180.0, world_version=world_version, **kw
         )
 
-    @staticmethod
-    def _distributed_cover(
-        zones_df: DataFrame, min_lat, min_lon, max_lat, max_lon, depth
-    ) -> dict[int, tuple[np.ndarray, np.ndarray]]:
-        """Scale path for large zone sets: each zone piece's covering is
-        computed on executors via applyInPandas (clip + BFS are per-piece
-        embarrassingly parallel), then collected — only cell ids cross the
-        wire, not geometry. SURVEY §3.1 'engine equivalent'."""
+    @classmethod
+    def _from_distributed_compile(
+        cls, spark, zones_df: DataFrame, min_lat, min_lon, max_lat, max_lon,
+        world_version: str, depth: int,
+    ) -> "TzEngine":
+        """Scale path for large zone sets (SURVEY §3.1): prune → clip/split
+        → per-piece covering + flattening all run on executors via
+        applyInPandas (per-piece embarrassingly parallel, identical
+        kernels to the driver compile — parity by construction). What
+        crosses the wire is one compact numpy blob per clipped piece plus
+        sort metadata; the driver sorts by (pre-clip area, ordinal,
+        component) — the reference's I11 order — and concatenates arrays
+        (assemble_index, linear in index bytes). At a 100x zone world the
+        driver never materializes nested-Row geometry."""
         from . import geom
 
-        def cover_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        def compile_group(pdf: pd.DataFrame) -> pd.DataFrame:
             out_rows = []
             for _, row in pdf.iterrows():
                 rings = [
                     np.array([(v["lon"], v["lat"]) for v in ring], dtype=np.float64)
                     for ring in row["rings"]
                 ]
+                pre_area = geom.polygon_area2d(rings)
                 lo_lon, lo_lat, hi_lon, hi_lat = geom.rings_bbox(rings)
+                # exact-extent prune (I10) — same inclusive intersect as
+                # the driver compile
                 if (
-                    lo_lat >= min_lat
-                    and hi_lat <= max_lat
-                    and lo_lon >= min_lon
-                    and hi_lon <= max_lon
+                    hi_lat < min_lat or lo_lat > max_lat
+                    or hi_lon < min_lon or lo_lon > max_lon
+                ):
+                    continue
+                if (
+                    lo_lat >= min_lat and hi_lat <= max_lat
+                    and lo_lon >= min_lon and hi_lon <= max_lon
                 ):
                     comps = [rings]
                 else:
-                    # same split as compile_index I12 — component order
-                    # must agree with the driver-side enumeration
                     comps = geom.clip_rings_to_box_split(
                         rings, min_lon, min_lat, max_lon, max_lat
                     )
                 for ci, comp in enumerate(comps):
                     if not comp or geom.polygon_area2d(comp) <= 0:
                         continue
-                    cids, interior = indexmod.cover_piece(comp, depth=depth)
-                    for c, flag in zip(cids.astype(np.int64), interior):
-                        out_rows.append(
-                            (int(row["ordinal"]), ci, int(c), bool(flag))
+                    blob = indexmod.pack_piece(
+                        indexmod.compile_piece(comp, depth=depth)
+                    )
+                    out_rows.append(
+                        (
+                            int(row["ordinal"]), ci, row["zone_id"],
+                            int(row["polygon_id"]), float(pre_area), blob,
                         )
+                    )
             return pd.DataFrame(
-                out_rows, columns=["ordinal", "comp", "cell_id", "interior"]
+                out_rows,
+                columns=[
+                    "ordinal", "comp", "zone_id", "polygon_id",
+                    "pre_area", "blob",
+                ],
             )
 
-        res = (
+        rows = (
             zones_df.repartition(32, "zone_id", "polygon_id")
             .groupBy("zone_id", "polygon_id")
             .applyInPandas(
-                cover_group,
-                "ordinal int, comp int, cell_id long, interior boolean",
+                compile_group,
+                "ordinal int, comp int, zone_id string, polygon_id int, "
+                "pre_area double, blob binary",
             )
             .collect()
         )
-        entries: dict[tuple[int, int], tuple[list, list]] = {}
-        for r in res:
-            key = (r.ordinal, r.comp)
-            entries.setdefault(key, ([], []))
-            entries[key][0].append(np.uint64(r.cell_id))
-            entries[key][1].append(r.interior)
-        return {
-            k: (np.array(v[0], dtype=np.uint64), np.array(v[1], dtype=bool))
-            for k, v in entries.items()
-        }
+        rows.sort(key=lambda r: (r.pre_area, r.ordinal, r.comp))  # I11
+        metas = [(r.zone_id, r.polygon_id, r.pre_area) for r in rows]
+        datas = [indexmod.unpack_piece(bytes(r.blob)) for r in rows]
+        idx = indexmod.assemble_index(
+            metas, datas, min_lat, min_lon, max_lat, max_lon, world_version
+        )
+        return cls(spark, idx)
 
     # -- accessors (reference I14) -------------------------------------------
 

@@ -196,15 +196,12 @@ def compile_index(
     max_lon: float,
     world_version: str,
     depth: int = 5,
-    cover_entries: dict[int, tuple[np.ndarray, np.ndarray]] | None = None,
     precomputed_areas: dict[int, float] | None = None,
 ) -> CompiledIndex:
     """Driver-side compile, mirroring TimeZoneMap.kt:156-243 step order.
-
-    ``cover_entries`` ((ordinal, component) -> (cell_ids, interior)) lets
-    the distributed compile path (applyInPandas over zone pieces) inject
-    pre-computed coverings per clip component; when None, coverings are
-    computed inline.
+    (The distributed variant — engine._from_distributed_compile — runs
+    the same compile_piece kernel on executors and the same
+    assemble_index on the driver.)
 
     ``precomputed_areas`` (ordinal -> deg^2) overrides the area sort key —
     needed when reloading an artifact whose geometry is already clipped:
@@ -248,112 +245,192 @@ def compile_index(
                     continue  # reference drops empties (pointCount>0)
                 clipped.append((p, ci, rings))
 
-    # flatten geometry to CSR (rings + flat segment arrays per piece)
-    zone_ids, polygon_ids, areas = [], [], []
-    piece_bbox = []
-    ring_offsets = [0]
-    vert_offsets = [0]
-    verts_list = []
-    seg_offsets = [0]
-    seg_a_list, seg_b_list = [], []
-    ent_rank, ent_interior, ent_center = [], [], []
-    ent_seg_off = [0]
-    ent_seg_idx_parts: list[np.ndarray] = []
-    per_level: dict[int, dict[str, list]] = {}
+    # compile each component, then assemble (same per-piece kernel and
+    # assembly the distributed path uses — parity by construction)
+    metas = []
+    datas = []
+    for p, ci, rings in clipped:
+        metas.append((p.zone_id, p.polygon_id, sort_area(p)))
+        datas.append(compile_piece(rings, depth=depth))
+    return assemble_index(
+        metas, datas, min_lat, min_lon, max_lat, max_lon, world_version
+    )
 
-    for rank, (p, ci, rings) in enumerate(clipped):
-        zone_ids.append(p.zone_id)
-        polygon_ids.append(p.polygon_id)
-        areas.append(sort_area(p))  # PRE-clip area: the documented sort key
-        piece_bbox.append(geom.rings_bbox(rings))
-        for r in rings:
-            verts_list.append(r)
-            vert_offsets.append(vert_offsets[-1] + len(r))
-        ring_offsets.append(ring_offsets[-1] + len(rings))
-        sa, sb = geom._segments(rings)
-        seg_base = seg_offsets[-1]
-        seg_a_list.append(sa)
-        seg_b_list.append(sb)
-        seg_offsets.append(seg_base + len(sa))
 
-        if cover_entries is not None and (p.ordinal, ci) in cover_entries:
-            cids, interior = cover_entries[(p.ordinal, ci)]
-        else:
-            cids, interior = cover_piece(rings, depth=depth)
-        res = cells.cell_res(cids)
-        bounds = cells.cell_bounds(cids)
-        centers = np.stack(
-            [(bounds[:, 0] + bounds[:, 2]) / 2, (bounds[:, 1] + bounds[:, 3]) / 2],
-            axis=1,
-        )
-        center_in = geom.points_in_rings_evenodd(centers, sa, sb)
-        # boundary cells: attach the ORIGINAL segments touching each cell
-        # (exact geometry — no clipped-coordinate rounding); one
-        # vectorized (cells x segments) matrix per piece
-        bsel = np.nonzero(~interior)[0]
-        local_lists: dict[int, np.ndarray] = {}
-        if len(bsel):
-            mat = geom.segments_box_matrix(sa, sb, bounds[bsel])
-            rows, cols = np.nonzero(mat)
-            split_at = np.searchsorted(rows, np.arange(len(bsel)))
-            split_at = np.append(split_at, len(rows))
-            for j in range(len(bsel)):
-                local_lists[int(bsel[j])] = (
-                    cols[split_at[j] : split_at[j + 1]] + seg_base
-                ).astype(np.int32)
-        for i in range(len(cids)):
-            eid = len(ent_rank)
-            ent_rank.append(rank)
-            ent_interior.append(bool(interior[i]))
-            ent_center.append(bool(center_in[i]))
-            if interior[i]:
-                ent_seg_off.append(ent_seg_off[-1])
-            else:
-                local = local_lists[i]
-                ent_seg_idx_parts.append(local)
-                ent_seg_off.append(ent_seg_off[-1] + len(local))
-            lvl = per_level.setdefault(int(res[i]), {"cell": [], "ent": []})
-            lvl["cell"].append(np.uint64(cids[i]))
-            lvl["ent"].append(eid)
+def compile_piece(rings: list[np.ndarray], depth: int = 5) -> dict:
+    """Compile ONE clipped piece into flat arrays — the embarrassingly
+    parallel unit of index construction (runs on executors in the
+    distributed path, inline on the driver otherwise). All ids are
+    RELATIVE to the piece; ``assemble_index`` applies global offsets.
 
+    Keys: verts (V,2) f64; ring_lens (R,) i64; seg_a/seg_b (S,2) f64;
+    bbox (4,) f64 (lo_lon, lo_lat, hi_lon, hi_lat); cells (E,) u64;
+    interior/center (E,) bool; loc_off (E+1,) i64 + loc_idx (L,) i32 —
+    per-cell CSR of piece-local segment ids for boundary cells."""
+    sa, sb = geom._segments(rings)
+    cids, interior = cover_piece(rings, depth=depth)
+    bounds = cells.cell_bounds(cids)
+    centers = np.stack(
+        [(bounds[:, 0] + bounds[:, 2]) / 2, (bounds[:, 1] + bounds[:, 3]) / 2],
+        axis=1,
+    )
+    center_in = geom.points_in_rings_evenodd(centers, sa, sb)
+    # boundary cells: attach the segments touching each cell — one
+    # vectorized (cells x segments) matrix per piece
+    n_cells = len(cids)
+    loc_counts = np.zeros(n_cells, dtype=np.int64)
+    idx_parts: list[np.ndarray] = []
+    bsel = np.nonzero(~interior)[0]
+    if len(bsel):
+        mat = geom.segments_box_matrix(sa, sb, bounds[bsel])
+        rows, cols = np.nonzero(mat)
+        split_at = np.searchsorted(rows, np.arange(len(bsel)))
+        split_at = np.append(split_at, len(rows))
+        loc_counts[bsel] = np.diff(split_at)
+        idx_parts.append(cols.astype(np.int32))  # already row-major order
+    loc_off = np.zeros(n_cells + 1, dtype=np.int64)
+    np.cumsum(loc_counts, out=loc_off[1:])
+    return {
+        "verts": np.vstack(rings) if rings else np.zeros((0, 2)),
+        "ring_lens": np.array([len(r) for r in rings], dtype=np.int64),
+        "seg_a": sa,
+        "seg_b": sb,
+        "bbox": np.array(geom.rings_bbox(rings), dtype=np.float64),
+        "cells": cids,
+        "interior": interior,
+        "center": center_in,
+        "loc_off": loc_off,
+        "loc_idx": (
+            np.concatenate(idx_parts) if idx_parts else np.zeros(0, np.int32)
+        ),
+    }
+
+
+def pack_piece(d: dict) -> bytes:
+    """Compact wire form of a compiled piece (numpy-pickled blob) — what
+    crosses executor→driver in the distributed compile, instead of
+    nested-Row ring geometry."""
+    import pickle
+
+    return pickle.dumps(d, protocol=5)
+
+
+def unpack_piece(b: bytes) -> dict:
+    import pickle
+
+    return pickle.loads(b)
+
+
+def assemble_index(
+    metas: list[tuple[str, int, float]],
+    datas: list[dict],
+    min_lat: float,
+    min_lon: float,
+    max_lat: float,
+    max_lon: float,
+    world_version: str,
+) -> CompiledIndex:
+    """Concatenate compiled pieces (already in rank order) into the
+    broadcast CompiledIndex. Pure array concatenation + one lexsort per
+    cell level — no per-cell Python loops, so driver cost stays linear in
+    index BYTES even at 100x zone worlds."""
+    zone_ids = [m[0] for m in metas]
+    polygon_ids = np.array([m[1] for m in metas], dtype=np.int32)
+    areas = np.array([m[2] for m in metas], dtype=np.float64)
+    P = len(datas)
+
+    ring_counts = np.array([len(d["ring_lens"]) for d in datas], dtype=np.int64)
+    ring_offsets = np.zeros(P + 1, dtype=np.int64)
+    np.cumsum(ring_counts, out=ring_offsets[1:])
+    vert_lens = (
+        np.concatenate([d["ring_lens"] for d in datas])
+        if P
+        else np.zeros(0, dtype=np.int64)
+    )
+    vert_offsets = np.zeros(len(vert_lens) + 1, dtype=np.int64)
+    np.cumsum(vert_lens, out=vert_offsets[1:])
+    verts = (
+        np.vstack([d["verts"] for d in datas]) if P else np.zeros((0, 2))
+    )
+
+    seg_counts = np.array([len(d["seg_a"]) for d in datas], dtype=np.int64)
+    seg_offsets = np.zeros(P + 1, dtype=np.int64)
+    np.cumsum(seg_counts, out=seg_offsets[1:])
+    seg_a = np.vstack([d["seg_a"] for d in datas]) if P else np.zeros((0, 2))
+    seg_b = np.vstack([d["seg_b"] for d in datas]) if P else np.zeros((0, 2))
+    piece_bbox = (
+        np.vstack([d["bbox"] for d in datas]) if P else np.zeros((0, 4))
+    )
+
+    ent_counts = np.array([len(d["cells"]) for d in datas], dtype=np.int64)
+    ent_rank = np.repeat(np.arange(P, dtype=np.int32), ent_counts)
+    ent_interior = (
+        np.concatenate([d["interior"] for d in datas])
+        if P
+        else np.zeros(0, dtype=bool)
+    )
+    ent_center = (
+        np.concatenate([d["center"] for d in datas])
+        if P
+        else np.zeros(0, dtype=bool)
+    )
+    all_cells = (
+        np.concatenate([d["cells"] for d in datas])
+        if P
+        else np.zeros(0, dtype=np.uint64)
+    )
+    # local-segment CSR: per-piece relative offsets/ids -> global
+    loc_lens = np.concatenate(
+        [np.diff(d["loc_off"]) for d in datas]
+    ) if P else np.zeros(0, dtype=np.int64)
+    ent_seg_off = np.zeros(len(loc_lens) + 1, dtype=np.int64)
+    np.cumsum(loc_lens, out=ent_seg_off[1:])
+    ent_seg_idx = (
+        np.concatenate(
+            [
+                d["loc_idx"].astype(np.int64) + seg_offsets[i]
+                for i, d in enumerate(datas)
+            ]
+        ).astype(np.int32)
+        if P
+        else np.zeros(0, dtype=np.int32)
+    )
+
+    # cell levels: group (cell -> entries) per resolution; entry ids
+    # ascend with rank, so the stable lexsort keeps rank-ascending order
+    # within each cell
     levels = {}
-    for r_level, d in per_level.items():
-        cell = np.array(d["cell"], dtype=np.uint64)
-        ent = np.array(d["ent"], dtype=np.int32)
-        # group entries by cell id; entry ids ascend with rank, so a
-        # stable sort keeps rank-ascending order within each cell
-        order = np.lexsort((ent, cell))
-        cell, ent = cell[order], ent[order]
-        uniq, start = np.unique(cell, return_index=True)
-        offsets = np.append(start, len(cell)).astype(np.int64)
-        levels[r_level] = (uniq, offsets, ent)
+    if len(all_cells):
+        ent_ids = np.arange(len(all_cells), dtype=np.int32)
+        res_all = cells.cell_res(all_cells).astype(np.int64)
+        for r_level in np.unique(res_all):
+            sel = res_all == r_level
+            cell = all_cells[sel]
+            ent = ent_ids[sel]
+            order = np.lexsort((ent, cell))
+            cell, ent = cell[order], ent[order]
+            uniq, start = np.unique(cell, return_index=True)
+            offsets = np.append(start, len(cell)).astype(np.int64)
+            levels[int(r_level)] = (uniq, offsets, ent)
 
     return CompiledIndex(
         version=f"{INDEX_FORMAT_VERSION}:{world_version}",
         init_region=(float(min_lat), float(min_lon), float(max_lat), float(max_lon)),
         zone_ids=zone_ids,
-        polygon_ids=np.array(polygon_ids, dtype=np.int32),
-        areas=np.array(areas, dtype=np.float64),
-        piece_bbox=(
-            np.array(piece_bbox, dtype=np.float64)
-            if piece_bbox
-            else np.zeros((0, 4))
-        ),
-        ring_offsets=np.array(ring_offsets, dtype=np.int64),
-        vert_offsets=np.array(vert_offsets, dtype=np.int64),
-        verts=np.vstack(verts_list) if verts_list else np.zeros((0, 2)),
-        seg_offsets=np.array(seg_offsets, dtype=np.int64),
-        seg_a=np.vstack(seg_a_list) if seg_a_list else np.zeros((0, 2)),
-        seg_b=np.vstack(seg_b_list) if seg_b_list else np.zeros((0, 2)),
-        ent_rank=np.array(ent_rank, dtype=np.int32),
-        ent_interior=np.array(ent_interior, dtype=bool),
-        ent_center=np.array(ent_center, dtype=bool),
-        ent_seg_off=np.array(ent_seg_off, dtype=np.int64),
-        ent_seg_idx=(
-            np.concatenate(ent_seg_idx_parts).astype(np.int32)
-            if ent_seg_idx_parts
-            else np.zeros(0, dtype=np.int32)
-        ),
+        polygon_ids=polygon_ids,
+        areas=areas,
+        piece_bbox=piece_bbox,
+        ring_offsets=ring_offsets,
+        vert_offsets=vert_offsets,
+        verts=verts,
+        seg_offsets=seg_offsets,
+        seg_a=seg_a,
+        seg_b=seg_b,
+        ent_rank=ent_rank,
+        ent_interior=ent_interior,
+        ent_center=ent_center,
+        ent_seg_off=ent_seg_off,
+        ent_seg_idx=ent_seg_idx,
         levels=levels,
     )
 
