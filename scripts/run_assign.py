@@ -32,6 +32,9 @@ def main() -> None:
     src.add_argument("--zones-geojson", help="GeoJSON FeatureCollection path")
     src.add_argument("--zones-geojsonl", help="line-delimited GeoJSON features")
     src.add_argument("--artifact", help="saved index artifact dir")
+    src.add_argument("--zones-tar",
+                     help="reference-format tar map archive "
+                          "(version marker + FlatBuffers entries)")
     src.add_argument("--synthetic-world", action="store_true",
                      help="use the built-in synthetic test world")
     ap.add_argument("--input", required=True, help="parquet dir/file with lat/lon columns")
@@ -54,6 +57,10 @@ def main() -> None:
 
     if args.artifact:
         eng = TzEngine.from_artifact(spark, args.artifact)
+    elif args.zones_tar:
+        eng = TzEngine.from_tar_archive(
+            spark, args.zones_tar, min_lat, min_lon, max_lat, max_lon
+        )
     else:
         if args.synthetic_world:
             from tzengine.zones import synthetic_world

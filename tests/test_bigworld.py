@@ -136,3 +136,24 @@ def test_distributed_compile_index_arrays_identical(spark, world):
     for lvl in a.levels:
         for x, y in zip(a.levels[lvl], b.levels[lvl]):
             np.testing.assert_array_equal(x, y)
+
+
+def test_artifact_distributed_reload_parity(spark, world, tmp_path):
+    # the production reload path: recompile from the artifact's zones
+    # table on executors, collecting only compiled blobs; must produce
+    # bit-identical index arrays vs the driver-side reload
+    from tzengine.engine import TzEngine
+
+    eng = TzEngine.for_region(spark, world, -50, -50, 50, 50,
+                              world_version="big1")
+    path = str(tmp_path / "art")
+    eng.save_artifact(path)
+    a = TzEngine.from_artifact(spark, path).idx
+    b = TzEngine.from_artifact(spark, path, distributed=True).idx
+    assert a.zone_ids == b.zone_ids
+    for field in ["areas", "verts", "seg_a", "ent_rank", "ent_seg_idx"]:
+        np.testing.assert_array_equal(getattr(a, field), getattr(b, field),
+                                      err_msg=field)
+    for lvl in a.levels:
+        for x, y in zip(a.levels[lvl], b.levels[lvl]):
+            np.testing.assert_array_equal(x, y)

@@ -128,7 +128,7 @@ class TzEngine:
     @classmethod
     def _from_distributed_compile(
         cls, spark, zones_df: DataFrame, min_lat, min_lon, max_lat, max_lon,
-        world_version: str, depth: int,
+        world_version: str, depth: int, area_col: str | None = None,
     ) -> "TzEngine":
         """Scale path for large zone sets (SURVEY §3.1): prune → clip/split
         → per-piece covering + flattening all run on executors via
@@ -148,7 +148,13 @@ class TzEngine:
                     np.array([(v["lon"], v["lat"]) for v in ring], dtype=np.float64)
                     for ring in row["rings"]
                 ]
-                pre_area = geom.polygon_area2d(rings)
+                # artifact reloads carry the original PRE-clip area (the
+                # reference's documented sort key, which already-clipped
+                # rings can no longer reproduce)
+                pre_area = (
+                    float(row[area_col]) if area_col is not None
+                    else geom.polygon_area2d(rings)
+                )
                 lo_lon, lo_lat, hi_lon, hi_lat = geom.rings_bbox(rings)
                 # exact-extent prune (I10) — same inclusive intersect as
                 # the driver compile
@@ -454,9 +460,16 @@ class TzEngine:
         tararchive.write_tar_archive(pieces, path, self.idx.version)
 
     @classmethod
-    def from_artifact(cls, spark: SparkSession, path: str, **kw) -> "TzEngine":
+    def from_artifact(
+        cls, spark: SparkSession, path: str, distributed: bool = False, **kw
+    ) -> "TzEngine":
         """Load + version-gate (reference I3 — fails fast before any Spark
-        job when the artifact format is incompatible)."""
+        job when the artifact format is incompatible).
+
+        ``distributed=True`` recompiles the index on executors from the
+        artifact's zones table, collecting only compact compiled-piece
+        blobs — the production reload path when the zone world is too
+        large to materialize as driver-side Row geometry."""
         meta = indexmod.load_index_meta(path)
         try:
             zones_df = spark.read.parquet(f"{path}/zones")
@@ -464,6 +477,18 @@ class TzEngine:
             raise RuntimeError(
                 "Unable to read time zone data resource file"
             ) from ex
+        min_lat, min_lon, max_lat, max_lon = meta["init_region"]
+        world_version = meta["version"].split(":", 1)[1]
+        if distributed:
+            df = zones_df.select(
+                "zone_id", "polygon_id",
+                F.col("area_rank").alias("ordinal"),
+                "rings", "area_deg2",
+            )
+            return cls._from_distributed_compile(
+                spark, df, min_lat, min_lon, max_lat, max_lon,
+                world_version, kw.get("depth", 5), area_col="area_deg2",
+            )
         rows = zones_df.select(
             "zone_id",
             "polygon_id",
@@ -477,8 +502,6 @@ class TzEngine:
         # sort key) alongside already-clipped rings; feed them back so the
         # rank order survives the round-trip exactly.
         areas = {r.ordinal: r.area_deg2 for r in rows}
-        min_lat, min_lon, max_lat, max_lon = meta["init_region"]
-        world_version = meta["version"].split(":", 1)[1]
         idx = indexmod.compile_index(
             pieces, min_lat, min_lon, max_lat, max_lon,
             world_version=world_version, precomputed_areas=areas, **kw,
