@@ -451,7 +451,9 @@ def q_payload_verify(spark, sf_dir):
 
 
 def q_hot_cells(spark, sf_dir):
-    """Skew diagnostic: salted per-cell counts over the assigned table."""
+    """Skew diagnostic: salted per-cell counts over the assigned table.
+    Oracled: the res-7 Morton cell id is 14 bit-interleave terms in ANSI
+    SQL, so DuckDB reproduces cell_id + counts exactly."""
     from tzengine.functions import hot_cell_histogram
 
     pts = _events_points(spark, sf_dir)
@@ -460,6 +462,30 @@ def q_hot_cells(spark, sf_dir):
         mode="strict",
     )
     return hot_cell_histogram(assigned, top=20)
+
+
+def _hot_cells_oracle_sql() -> str:
+    """Morton encode at res 7 in SQL: ix/iy = truncate((coord+off)/span *
+    128), interleave 7 bits each (ix even positions, iy odd), OR in the
+    resolution tag (7 << 58) — same IEEE double AST as cells.cell_of."""
+    ix = "CAST(trunc(((lon + 180.0) / 360.0) * 128.0) AS BIGINT)"
+    iy = "CAST(trunc(((lat + 90.0) / 180.0) * 128.0) AS BIGINT)"
+    terms = []
+    for b in range(7):
+        terms.append(f"((({ix} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({iy} >> {b}) & 1) << {2 * b + 1})")
+    morton = " | ".join(terms)
+    return f"""
+        WITH pts AS (SELECT event_id,
+                            (event_id % 1987) / 200.0 AS lat,
+                            (event_id * 7 % 1993) / 200.0 AS lon
+                     FROM events),
+        cellids AS (
+          SELECT (CAST(7 AS BIGINT) << 58) | ({morton}) AS cell_id
+          FROM pts)
+        SELECT cell_id, count(*) AS n FROM cellids
+        GROUP BY cell_id ORDER BY n DESC, cell_id LIMIT 20
+    """
 
 
 def q_tar_archive_roundtrip(spark, sf_dir):
@@ -747,6 +773,7 @@ def oracle_sql() -> dict[str, str]:
         # over axis-aligned f32-grid rectangles, generated from the same
         # pieces the engine ingests
         "assign_full_world": _full_world_oracle_sql(),
+        "hot_cells": _hot_cells_oracle_sql(),
         # quality_score: \w and \s classes agree between Java regex and
         # RE2 for this ASCII corpus; integer/integer division yields
         # double in both engines; the composite score is a sum of 0.25

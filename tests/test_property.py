@@ -90,3 +90,39 @@ def test_clip_area_never_grows(seed, xmin, ymin, w, h):
         assert clipped[:, 0].max() <= xmin + w + 1e-9
         assert clipped[:, 1].min() >= ymin - 1e-9
         assert clipped[:, 1].max() <= ymin + h + 1e-9
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=100_000),
+    xmin=st.floats(min_value=-2, max_value=0.5),
+    ymin=st.floats(min_value=-2, max_value=0.5),
+    w=st.floats(min_value=0.1, max_value=3),
+    h=st.floats(min_value=0.1, max_value=3),
+)
+def test_split_clip_conserves_area_and_components_disjoint(seed, xmin, ymin, w, h):
+    # the component-splitting clip must cover exactly the same region as
+    # the ring-by-ring Sutherland-Hodgman clip: total |area| equal, and
+    # random points agree on containment
+    piece = star_piece(seed, "Z", 0, 0.0, 0.0, 2.0, 16)
+    comps = geom.clip_rings_to_box_split(
+        piece.rings, xmin, ymin, xmin + w, ymin + h
+    )
+    sh = geom.clip_rings_to_box(piece.rings, xmin, ymin, xmin + w, ymin + h)
+    a_split = sum(abs(geom.polygon_area2d(c)) for c in comps)
+    a_sh = abs(geom.polygon_area2d(sh)) if sh else 0.0
+    assert a_split == pytest.approx(a_sh, rel=1e-9, abs=1e-12)
+
+    rng = np.random.default_rng(seed)
+    pts = np.stack(
+        [rng.uniform(xmin + 1e-6, xmin + w - 1e-6, 100),
+         rng.uniform(ymin + 1e-6, ymin + h - 1e-6, 100)], axis=1
+    )
+    if sh:
+        in_sh = geom.contains_inclusive(pts, sh)
+        in_split = np.zeros(len(pts), dtype=bool)
+        for c in comps:
+            in_split |= geom.contains_inclusive(pts, c)
+        # boundary-epsilon points may differ on the clip edge; interior
+        # sample points must agree
+        assert (in_sh == in_split).mean() >= 0.99
