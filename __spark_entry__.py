@@ -236,6 +236,15 @@ def q_lang_id(spark, sf_dir):
     return lang_id(d).select("doc_id", "lang_pred").orderBy("doc_id")
 
 
+def q_length_stats(spark, sf_dir):
+    """Corpus profiling rollup: per-language doc counts + mean + EXACT
+    p50/p90 length (Spark percentile == SQL quantile_cont interpolation)."""
+    from tzengine.pipeline.text import length_stats
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return length_stats(d)
+
+
 def q_tpch_q1(spark, sf_dir):
     """Generic relational capability: TPC-H Q1-shaped aggregation."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -554,6 +563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
+        "length_stats": q_length_stats,
         # rows-only (hash-seeded / geodesic / geometric)
         "assign_full_world": q_assign_full_world,
         "distance_boundary": q_distance_boundary,
@@ -768,6 +778,37 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "length_stats": r"""
+            WITH t AS (
+              SELECT doc_id, length(text) AS len,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS w
+              FROM documents),
+            h AS (
+              SELECT doc_id, len,
+                     len(list_filter(w, x -> list_contains(
+                       ['der','die','das','und','ist','ein','zu'], x))) AS hde,
+                     len(list_filter(w, x -> list_contains(
+                       ['the','a','and','of','to','in','is'], x))) AS hen,
+                     len(list_filter(w, x -> list_contains(
+                       ['el','la','los','y','de','un','es'], x))) AS hes,
+                     len(list_filter(w, x -> list_contains(
+                       ['le','la','et','les','des','un','est'], x))) AS hfr
+              FROM t),
+            lp AS (
+              SELECT len,
+                     CASE WHEN greatest(hde, hen, hes, hfr) = 0 THEN 'und'
+                          WHEN hfr = greatest(hde, hen, hes, hfr) THEN 'fr'
+                          WHEN hes = greatest(hde, hen, hes, hfr) THEN 'es'
+                          WHEN hen = greatest(hde, hen, hes, hfr) THEN 'en'
+                          ELSE 'de' END AS lang_pred
+              FROM h)
+            SELECT lang_pred,
+                   count(*) AS n_docs,
+                   avg(len) AS mean_len,
+                   quantile_cont(len, 0.5) AS p50_len,
+                   quantile_cont(len, 0.9) AS p90_len
+            FROM lp GROUP BY lang_pred ORDER BY lang_pred
         """,
         # full synthetic world: even-odd + boundary-inclusive containment
         # over axis-aligned f32-grid rectangles, generated from the same

@@ -353,3 +353,23 @@ def test_phash_neardup_pairs(spark):
     assert got[(srcs[0], srcs[0] + "_d")] == 0
     assert got[(srcs[1], srcs[1] + "_d")] == 1
     assert got[(srcs[2], srcs[2] + "_d")] == 1
+
+
+def test_length_stats_matches_duckdb(spark, docs):
+    got = {r.lang_pred: (r.n_docs, r.mean_len, r.p50_len, r.p90_len)
+           for r in text.length_stats(docs).collect()}
+    assert sum(v[0] for v in got.values()) == docs.count()
+    # spot-check one group against duckdb quantile_cont semantics
+    import duckdb as dk
+    con = dk.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')")
+    row = con.execute(
+        "SELECT count(*), avg(length(text)), "
+        "quantile_cont(length(text), 0.5), quantile_cont(length(text), 0.9) "
+        "FROM documents").fetchone()
+    total = (sum(v[0] for v in got.values()),
+             sum(v[0] * v[1] for v in got.values()) / sum(v[0] for v in got.values()))
+    assert total[0] == row[0]
+    assert total[1] == pytest.approx(row[1], rel=1e-12)

@@ -99,3 +99,21 @@ def fingerprint(df: DataFrame, text_col: str = "text", n: int = 5) -> DataFrame:
     return df.withColumn("fingerprint", exact_fp).withColumn(
         "fingerprint_min_ngram", robust_fp
     )
+
+
+def length_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-language document-length distribution: count, mean, EXACT
+    p50/p90 (Spark `percentile`, linear interpolation — same formula as
+    SQL quantile_cont, so the whole aggregate is oracle-portable).
+    Composes lang_id → groupBy: the standard corpus-profiling rollup."""
+    d = lang_id(df, text_col).withColumn("len", F.length(F.col(text_col)))
+    return (
+        d.groupBy("lang_pred")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.avg("len").alias("mean_len"),
+            F.percentile("len", 0.5).alias("p50_len"),
+            F.percentile("len", 0.9).alias("p90_len"),
+        )
+        .orderBy("lang_pred")
+    )
