@@ -214,6 +214,20 @@ def main() -> None:
                 for _ in range(3))
     queries["assign_world454"] = round(el454, 3)
 
+    # --- Q1-only assignment (reference getOverlappingTimeZone): no rank
+    # list across the Arrow boundary, no per-element JVM transform -------
+    from tzengine.zones import synthetic_world as _sw2
+
+    eng_q1 = TzEngine.for_everywhere(spark, _sw2(), world_version="synth1")
+    pts_q1 = probe_points(spark, sf_dir).repartition(cores).cache()
+    n_q1 = pts_q1.count()
+    out_q1 = eng_q1.assign_timezones(pts_q1, mode="strict", include_all=False)
+    out_q1.groupBy("tzid").count().collect()
+    el_q1 = min(timed(lambda: out_q1.groupBy("tzid").count().collect())[0]
+                for _ in range(3))
+    queries["assign_first_only"] = round(el_q1, 3)
+    pts_q1.unpersist()
+
     # --- other headline queries at full parallelism -----------------------
     import __spark_entry__ as entrymod
 

@@ -181,3 +181,18 @@ def test_uncovered_in_region_point_is_not_a_violation(spark, world):
         )
     ).collect()
     assert sum(r.n_violations for r in stats) == 1
+
+
+def test_include_all_false_q1_only_path(spark, world):
+    eng = TzEngine.for_everywhere(spark, world, world_version="synth1")
+    df = spark.createDataFrame(
+        [(4.5, 4.5), (0.5, 0.5), (3.5, 5.5)], "lat double, lon double"
+    )
+    full = eng.assign_timezones(df, mode="strict").orderBy("lat").collect()
+    q1 = eng.assign_timezones(df, mode="strict", include_all=False).orderBy(
+        "lat"
+    ).collect()
+    assert "tzids" not in q1[0].asDict()
+    assert [r.tzid for r in q1] == [r.tzid for r in full]
+    assert [r.cell_id for r in q1] == [r.cell_id for r in full]
+    assert [r.zone_shard for r in q1] == [r.zone_shard for r in full]

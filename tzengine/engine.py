@@ -260,25 +260,32 @@ class TzEngine:
         mode: str = "pipeline",
         probe_res: int = DEFAULT_PROBE_RES,
         n_shards: int = DEFAULT_N_SHARDS,
+        include_all: bool = True,
     ) -> DataFrame:
         """The core operator: point ⋈ zone-set broadcast spatial join.
 
         Adds columns tzid (smallest-area match, Q1), tzids (all matches
         area-ascending, Q2), cell_id (probe-res tile), zone_shard
         (deterministic output shard). No shuffle: the index is broadcast,
-        the probe is a narrow map over Arrow batches."""
+        the probe is a narrow map over Arrow batches.
+
+        ``include_all=False`` is the reference's Q1-only call
+        (getOverlappingTimeZone): the all-matches rank list is neither
+        built nor serialized across the Arrow boundary and no per-element
+        JVM transform runs — a narrower plan for pipelines that only
+        consume ``tzid``."""
         import pyarrow as pa
 
         bc = self._bc
 
-        probe_schema = T.StructType(
-            [
-                T.StructField("valid", T.BooleanType()),
-                T.StructField("first_rank", T.IntegerType()),
-                T.StructField("ranks", T.ArrayType(T.IntegerType())),
-                T.StructField("cell_id", T.LongType()),
-            ]
-        )
+        fields = [
+            T.StructField("valid", T.BooleanType()),
+            T.StructField("first_rank", T.IntegerType()),
+        ]
+        if include_all:
+            fields.append(T.StructField("ranks", T.ArrayType(T.IntegerType())))
+        fields.append(T.StructField("cell_id", T.LongType()))
+        probe_schema = T.StructType(fields)
 
         @F.pandas_udf(probe_schema)
         def _probe(lat: pd.Series, lon: pd.Series) -> pd.DataFrame:
@@ -289,27 +296,27 @@ class TzEngine:
             lats = lat.to_numpy(dtype=np.float64)
             lons = lon.to_numpy(dtype=np.float64)
             valid, first_arr, list_arr = probemod.probe_arrow(
-                idx, lats, lons, mode=mode
+                idx, lats, lons, mode=mode, with_all=include_all
             )
             safe_lats = np.where(valid, lats, 0.0)
             safe_lons = np.where(valid, lons, 0.0)
             cell = cellmod.cell_of(safe_lons, safe_lats, probe_res).astype(np.int64)
-            return pd.DataFrame(
-                {
-                    "valid": pd.Series(
-                        pa.array(valid), dtype=pd.ArrowDtype(pa.bool_())
-                    ),
-                    "first_rank": pd.Series(
-                        first_arr, dtype=pd.ArrowDtype(pa.int32())
-                    ),
-                    "ranks": pd.Series(
-                        list_arr, dtype=pd.ArrowDtype(pa.list_(pa.int32()))
-                    ),
-                    "cell_id": pd.Series(
-                        pa.array(cell), dtype=pd.ArrowDtype(pa.int64())
-                    ),
-                }
+            cols = {
+                "valid": pd.Series(
+                    pa.array(valid), dtype=pd.ArrowDtype(pa.bool_())
+                ),
+                "first_rank": pd.Series(
+                    first_arr, dtype=pd.ArrowDtype(pa.int32())
+                ),
+            }
+            if include_all:
+                cols["ranks"] = pd.Series(
+                    list_arr, dtype=pd.ArrowDtype(pa.list_(pa.int32()))
+                )
+            cols["cell_id"] = pd.Series(
+                pa.array(cell), dtype=pd.ArrowDtype(pa.int64())
             )
+            return pd.DataFrame(cols)
 
         # JVM-side rank -> zone-name mapping (element_at over a literal
         # array; the zone list is broadcast-small by construction) and
@@ -319,6 +326,18 @@ class TzEngine:
         zone_lit = F.array(*[F.lit(z) for z in self.idx.zone_ids])
         valid_c = F.col("__tz.valid")
         res = df.withColumn("__tz", _probe(F.col(lat_col), F.col(lon_col)))
+        maybe_tzids = (
+            [
+                F.when(
+                    valid_c,
+                    F.transform(
+                        F.col("__tz.ranks"), lambda r: F.element_at(zone_lit, r + 1)
+                    ),
+                ).alias("tzids")
+            ]
+            if include_all
+            else []
+        )
         return (
             res.select(
                 "*",
@@ -326,12 +345,7 @@ class TzEngine:
                     valid_c & (F.col("__tz.first_rank") >= 0),
                     F.element_at(zone_lit, F.col("__tz.first_rank") + 1),
                 ).alias("tzid"),
-                F.when(
-                    valid_c,
-                    F.transform(
-                        F.col("__tz.ranks"), lambda r: F.element_at(zone_lit, r + 1)
-                    ),
-                ).alias("tzids"),
+                *maybe_tzids,
                 F.when(valid_c, F.col("__tz.cell_id")).alias("cell_id"),
                 F.when(
                     valid_c,

@@ -189,9 +189,11 @@ def probe_arrow(
     lats: np.ndarray,
     lons: np.ndarray,
     mode: str = "strict",
+    with_all: bool = True,
 ):
     """Arrow-native probe result: (valid np.bool_, first_rank pa.Int32Array,
-    ranks pa.ListArray<int32>).
+    ranks pa.ListArray<int32> — or None when ``with_all=False``, the
+    Q1-only fast path that skips the list serialization).
 
     No per-row Python anywhere — the Spark assign UDF hands these straight
     back through the Arrow serializer, and the rank→zone-name mapping
@@ -213,6 +215,8 @@ def probe_arrow(
         first = np.zeros(n, dtype=np.int32)
     first = np.where(has_match, first, -1).astype(np.int32)
     first_arr = pa.array(first)
+    if not with_all:
+        return valid, first_arr, None
     list_arr = pa.ListArray.from_arrays(
         pa.array(offsets.astype(np.int32)),
         pa.array(ranks.astype(np.int32)),
