@@ -157,3 +157,24 @@ def test_artifact_distributed_reload_parity(spark, world, tmp_path):
     for lvl in a.levels:
         for x, y in zip(a.levels[lvl], b.levels[lvl]):
             np.testing.assert_array_equal(x, y)
+
+
+def test_distributed_parity_keeps_zero_area_passthrough_piece(spark):
+    # a degenerate (zero-area) piece fully inside the region must be
+    # treated identically by both compile paths (code-review regression)
+    from tzengine.engine import TzEngine
+    from tzengine.zones import ZonePiece, pieces_to_df, _rect, make_piece
+
+    degen = ZonePiece(
+        "Zone/Line", 0, 0,
+        [np.array([[0.0, 0.0], [1.0, 1.0], [2.0, 2.0]])],
+    )
+    filler = make_piece("Zone/Fill", 0, 1, [_rect(-5, -5, 5, 5)])
+    pieces = [degen, filler]
+    a = TzEngine.for_region(spark, pieces, -10, -10, 10, 10,
+                            world_version="z")
+    b = TzEngine.for_region(spark, pieces_to_df(spark, pieces),
+                            -10, -10, 10, 10, world_version="z",
+                            distributed=True)
+    assert a.idx.zone_ids == b.idx.zone_ids
+    assert a.idx.n_pieces == b.idx.n_pieces

@@ -373,3 +373,41 @@ def test_length_stats_matches_duckdb(spark, docs):
              sum(v[0] * v[1] for v in got.values()) / sum(v[0] for v in got.values()))
     assert total[0] == row[0]
     assert total[1] == pytest.approx(row[1], rel=1e-12)
+
+
+def test_dedup_clusters_long_chain_pointer_jumping(spark):
+    # 30-hop chain: plain min-label propagation needs 29 rounds; pointer
+    # jumping must converge within the default max_iter
+    nodes = spark.createDataFrame([(i,) for i in range(30)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(29)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: r.canonical_id
+           for r in dedup.dedup_clusters(nodes, pairs).collect()}
+    assert got == {i: 0 for i in range(30)}
+    # and non-convergence raises instead of silently splitting clusters
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dedup_clusters(nodes, pairs, max_iter=1)
+
+
+def test_hamming_block_pairs_generalized_max_dist(spark):
+    # max_dist=4 with one flipped bit in each of 4 "quarters": fixed
+    # 4-block bucketing would share no block; (d+1)-block bucketing must
+    # find the pair
+    h = 0x0123456789ABCDEF
+    h4 = h ^ (1 << 2) ^ (1 << 18) ^ (1 << 34) ^ (1 << 50)
+    df = spark.createDataFrame(
+        [(1, h), (2, h4), (3, 0x7777777777777777)], "doc_id long, h long"
+    )
+    got = [(r.id_a, r.id_b, r.hamming)
+           for r in dedup.hamming_block_pairs(df, "doc_id", "h", 4).collect()]
+    assert got == [(1, 2, 4)]
+    # max_dist=0 degenerates to exact equality
+    df0 = spark.createDataFrame(
+        [(1, 5), (2, 5), (3, 6)], "doc_id long, h long"
+    )
+    got0 = [(r.id_a, r.id_b)
+            for r in dedup.hamming_block_pairs(df0, "doc_id", "h", 0).collect()]
+    assert got0 == [(1, 2)]
+    with pytest.raises(ValueError):
+        dedup.hamming_block_pairs(df0, "doc_id", "h", 32)

@@ -102,3 +102,60 @@ def test_streaming_dedup_ttl_expires_state(spark, tmp_path):
         q.stop()
     # "a" appears twice: once originally, once after its state expired
     assert rows == [(1, "a"), (1, "a"), (1, "b")]
+
+
+def test_streaming_dedup_ttl_last_seen_refresh(spark, tmp_path):
+    # an id that KEEPS arriving is never re-emitted: every arrival
+    # refreshes its last-seen timestamp (code-review regression — the
+    # first version expired by first-seen time)
+    import glob
+    import os
+    import shutil
+    import time
+
+    src = str(tmp_path / "refresh_src")
+    os.makedirs(src + "/all")
+    schema = "phash long, image_id string"
+
+    def feed(name, rows_data):
+        spark.createDataFrame(rows_data, schema).coalesce(1).write.parquet(
+            src + f"/{name}", mode="overwrite"
+        )
+        shutil.copy(
+            glob.glob(src + f"/{name}/part-*.parquet")[0],
+            src + f"/all/{name}.parquet",
+        )
+
+    feed("b0", [(1, "a")])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/all")
+    )
+    # generous margins: micro-batch latency is ~1-2s, so the gaps must
+    # clear the TTL comparison on both sides
+    out = streaming.streaming_dedup(stream, ttl=9000)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_refresh")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        time.sleep(5.5)
+        feed("b1", [(1, "a")])  # duplicate arrival refreshes last-seen
+        q.processAllAvailable()
+        time.sleep(5.5)  # ~11s+ since FIRST sight, ~5.5s since LAST
+        feed("b2", [(1, "a"), (1, "b")])
+        q.processAllAvailable()
+        rows = sorted(
+            (r.phash, r.image_id)
+            for r in spark.sql("select * from dedup_refresh").collect()
+        )
+    finally:
+        q.stop()
+    # "a" emitted exactly once: first-seen expiry would have re-emitted
+    # it at b2 (>11s > 9s ttl); last-seen keeps it alive (~5.5s < 9s)
+    assert rows == [(1, "a"), (1, "b")]

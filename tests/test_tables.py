@@ -140,3 +140,13 @@ def test_null_partition_values_are_a_real_unit(spark, tmp_path):
     # resume is a no-op (idempotent with the null unit committed)
     snap2 = tables.write_resumable(df, out, partition_col="shard")
     assert snap2["complete"] and snap2["committed"] == snap["committed"]
+
+
+def test_complete_table_rejects_different_input(spark, assigned, tmp_path):
+    # resuming a COMPLETE table with different input must not silently
+    # report success (code-review regression)
+    out = str(tmp_path / "full_mm")
+    tables.write_resumable(assigned, out)
+    other = assigned.filter(F.col("zone_shard") < 10)
+    with pytest.raises(ValueError, match="manifest mismatch"):
+        tables.write_resumable(other, out)

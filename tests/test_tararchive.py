@@ -171,3 +171,33 @@ def test_tar_empty_archive_rejected(tmp_path):
     tarfile.open(path, "w").close()
     with pytest.raises(ValueError, match="Incompatible map archive"):
         tararchive.read_tar_archive(path)
+
+
+def test_malformed_entries_hit_io_error_contract(tmp_path):
+    # stray entry names / corrupt payloads must map to the reference I2
+    # RuntimeError, not leak raw ValueError/IndexError
+    import tarfile as tmod
+
+    path = str(tmp_path / "stray.tar")
+    with tmod.open(path, "w") as tf:
+        marker = tmod.TarInfo(name="Version: 1:x")
+        marker.size = 0
+        tf.addfile(marker)
+        bad = tmod.TarInfo(name="README")  # no envelope in the name
+        payload = b"not a flatbuffer"
+        bad.size = len(payload)
+        tf.addfile(bad, io.BytesIO(payload))
+    with pytest.raises(RuntimeError, match="Unable to read time zone data"):
+        tararchive.read_tar_archive(path)
+
+    path2 = str(tmp_path / "corrupt.tar")
+    with tmod.open(path2, "w") as tf:
+        marker = tmod.TarInfo(name="Version: 1:x")
+        marker.size = 0
+        tf.addfile(marker)
+        bad = tmod.TarInfo(name="Zone/0,0,1,1")
+        payload = b"\xff\xff\xff\xff garbage"
+        bad.size = len(payload)
+        tf.addfile(bad, io.BytesIO(payload))
+    with pytest.raises(RuntimeError, match="Unable to read time zone data"):
+        tararchive.read_tar_archive(path2)

@@ -168,12 +168,19 @@ class TzEngine:
                     and lo_lon >= min_lon and hi_lon <= max_lon
                 ):
                     comps = [rings]
+                    was_clipped = False  # pass-through keeps the piece
+                    # regardless of area — exactly like the driver
+                    # compile (the reference drops empties only among
+                    # CLIP results, pointCount>0)
                 else:
                     comps = geom.clip_rings_to_box_split(
                         rings, min_lon, min_lat, max_lon, max_lat
                     )
+                    was_clipped = True
                 for ci, comp in enumerate(comps):
-                    if not comp or geom.polygon_area2d(comp) <= 0:
+                    if was_clipped and (
+                        not comp or geom.polygon_area2d(comp) <= 0
+                    ):
                         continue
                     blob = indexmod.pack_piece(
                         indexmod.compile_piece(comp, depth=depth)

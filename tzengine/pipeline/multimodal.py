@@ -132,44 +132,9 @@ def phash_neardup_pairs(
     max_dist: int = 3,
 ) -> DataFrame:
     """Image near-dup pairs on the 64-bit perceptual hash — the image-axis
-    analogue of SimHash text dedup: 4-block pigeonhole bucketing (any pair
-    within Hamming distance 3 agrees on >=1 of 4 16-bit blocks) → bucket
-    equi-join → exact bit_count verify. All JVM-side."""
-    from pyspark.sql import functions as F
+    analogue of SimHash text dedup: (max_dist+1)-block pigeonhole
+    bucketing (lossless for every max_dist) → bucket equi-join → exact
+    bit_count verify. All JVM-side."""
+    from .dedup import hamming_block_pairs
 
-    blocks = df.select(
-        id_col,
-        phash_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("blk"),
-                        F.shiftrightunsigned(phash_col, 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("key"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("b"),
-    ).select(id_col, phash_col, "b.blk", "b.key")
-    blocks = blocks.persist()  # shared by both self-join sides
-    a, b = blocks.alias("a"), blocks.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(
-                F.col(f"a.{phash_col}").bitwiseXOR(F.col(f"b.{phash_col}"))
-            ).alias("hamming"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-        .filter(F.col("hamming") <= max_dist)
-    )
+    return hamming_block_pairs(df, id_col, phash_col, max_dist)

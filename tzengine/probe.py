@@ -305,17 +305,19 @@ def knn_zones_batch(
     lb = geom.bbox_geodesic_lower_bound(lats, lons, idx.piece_bbox)  # (n,P)
     order = np.argsort(lb, axis=1, kind="stable")
 
-    # per-point state: best (dist, rank) per zone id
+    # per-point state: best (dist, rank) per zone id + cached k-th zone
+    # distance (refreshed only when zone_best changes — not re-sorted
+    # every round)
     zone_best: list[dict[str, tuple[float, int]]] = [dict() for _ in range(n)]
+    kth = np.full(n, np.inf)
     ptr = np.zeros(n, dtype=np.int64)  # next position in each point's order
     done = np.zeros(n, dtype=bool)
     n_eval = 0
 
-    def kth_dist(i: int) -> float:
+    def _refresh_kth(i: int) -> None:
         zb = zone_best[i]
-        if len(zb) < k:
-            return np.inf
-        return sorted(d for d, _ in zb.values())[k - 1]
+        if len(zb) >= k:
+            kth[i] = sorted(d for d, _ in zb.values())[k - 1]
 
     while True:
         # gather this round's (point → piece) work, grouped by piece so
@@ -326,7 +328,7 @@ def knn_zones_batch(
                 done[i] = True
                 continue
             r = int(order[i, ptr[i]])
-            if lb[i, r] > kth_dist(i):
+            if lb[i, r] > kth[i]:
                 done[i] = True  # no remaining piece can change the top-k
                 continue
             groups.setdefault(r, []).append(int(i))
@@ -345,6 +347,7 @@ def knn_zones_batch(
                 cand = (float(d[j]), r)
                 if cur is None or cand < cur:
                     zone_best[i][zid] = cand
+                    _refresh_kth(i)
 
     out = []
     for i in range(n):

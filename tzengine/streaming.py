@@ -22,7 +22,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 
 def assign_stream(engine, stream_df: DataFrame, **kw) -> DataFrame:
@@ -59,12 +58,13 @@ def streaming_dedup(
     State hygiene for 100 TB streams (VERDICT r1 #10):
 
     - ``ttl`` (milliseconds, processing time): each stored id carries its
-      last-seen timestamp; entries older than the TTL are dropped from
-      state whenever the key is touched, so an active key's state is
-      bounded by its TTL-window cardinality. Ids older than the TTL may
-      be re-emitted — the standard streaming-dedup trade-off.
-    - state is written only when a batch actually changes it (quiet
-      duplicate-only batches touch nothing).
+      LAST-seen timestamp (every arrival refreshes it, so an id that
+      keeps arriving is never re-emitted); entries quiet for longer than
+      the TTL are dropped whenever the key is touched, so an active
+      key's state is bounded by its TTL-window cardinality.
+    - without a TTL, state is written only when a batch adds new ids
+      (duplicate-only batches touch nothing); with a TTL, duplicate
+      arrivals write the refreshed timestamps.
 
     The TTL is LAZY (evaluated on access) rather than timer-driven:
     GroupState processing-time timers trigger empty-batch replanning that
@@ -84,25 +84,25 @@ def streaming_dedup(
 
     def dedup_fn(key, pdfs, state: GroupState):
         now_ms = _time.time() * 1000.0
-        ids: list = []
-        tss: list = []
+        last: dict = {}
         n_before = 0
         if state.exists:
             old_ids, old_tss = state.get
             n_before = len(old_ids)
             for i, t in zip(old_ids, old_tss):
                 if ttl is None or now_ms - t <= ttl:
-                    ids.append(i)
-                    tss.append(t)
-        seen = set(ids)
+                    last[i] = t
         fresh = []
+        touched = False
         for pdf in pdfs:
             for v in pdf[id_col]:
-                if v not in seen:
-                    seen.add(v)
+                if v not in last:
                     fresh.append(v)
-        if fresh or len(ids) != n_before:
-            state.update((ids + fresh, tss + [now_ms] * len(fresh)))
+                elif ttl is not None:
+                    touched = True  # LAST-seen semantics: refresh below
+                last[v] = now_ms
+        if fresh or touched or len(last) - len(fresh) != n_before:
+            state.update((list(last), [last[i] for i in last]))
         yield pd.DataFrame({key_col: [key[0]] * len(fresh), id_col: fresh})
 
     return (

@@ -137,6 +137,22 @@ def write_resumable(
             raise ValueError(_MISMATCH_MSG)
         pending = [u for u in manifest["units"] if u not in done]
         if not pending:
+            # everything committed — still validate the CALLER'S input
+            # against the manifest (the only path that needs a discovery
+            # pass; without it, "resuming" a complete table with
+            # different input would silently report success)
+            units_now = {
+                r[0]
+                for r in df.select(
+                    F.coalesce(
+                        F.col(partition_col).cast("string"), F.lit(HIVE_NULL)
+                    ).alias("u")
+                )
+                .distinct()
+                .collect()
+            }
+            if units_now != set(manifest["units"]):
+                raise ValueError(_MISMATCH_MSG)
             return _snapshot(out_dir, manifest)
         sub = df.filter(
             ~F.coalesce(

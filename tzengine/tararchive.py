@@ -308,17 +308,26 @@ def read_tar_archive(
     map_version: str | None = None
     pieces: list[ZonePiece] = []
     ordinal = 0
-    try:
-        with tf:
-            for entry in tf:
-                if map_version is None:
-                    split = entry.name.split(" ")
-                    version = split[1] if len(split) == 2 else entry.name
-                    if version.split(":")[0] != INDEX_FORMAT_VERSION:
-                        raise ValueError(INCOMPATIBLE_MSG.format(found=version))
-                    map_version = version
-                if entry.size <= 0:
-                    continue
+    with tf:
+        it = iter(tf)
+        while True:
+            try:
+                entry = next(it)
+            except StopIteration:
+                break
+            except (OSError, tarfile.TarError) as ex:
+                raise RuntimeError(IO_ERROR_MSG) from ex
+            if map_version is None:
+                split = entry.name.split(" ")
+                version = split[1] if len(split) == 2 else entry.name
+                if version.split(":")[0] != INDEX_FORMAT_VERSION:
+                    # the ONLY ValueError this function lets escape —
+                    # the reference's IllegalArgumentException analogue
+                    raise ValueError(INCOMPATIBLE_MSG.format(found=version))
+                map_version = version
+            if entry.size <= 0:
+                continue
+            try:
                 # envelope prune from the NAME, before reading any bytes
                 env = deserialize_envelope(entry.name.split("/")[-1])
                 e_min_lat, e_min_lon, e_max_lat, e_max_lon = env
@@ -331,16 +340,18 @@ def read_tar_archive(
                     continue
                 buf = tf.extractfile(entry).read()
                 tzid, regions = decode_timezone(buf)
-                for poly_id, rings in enumerate(regions):
-                    rings = [geom.f32(r) for r in rings if len(r) >= 3]
-                    if not rings:
-                        continue
-                    pieces.append(ZonePiece(tzid, poly_id, ordinal, rings))
-                    ordinal += 1
-    except ValueError:
-        raise
-    except (OSError, tarfile.TarError, struct.error) as ex:
-        raise RuntimeError(IO_ERROR_MSG) from ex
+            except Exception as ex:
+                # malformed entry names, truncated streams, corrupt
+                # FlatBuffers payloads — all map to the reference I2
+                # contract (TimeZoneMap.kt:254-259), not raw
+                # ValueError/IndexError/struct.error leaks
+                raise RuntimeError(IO_ERROR_MSG) from ex
+            for poly_id, rings in enumerate(regions):
+                rings = [geom.f32(r) for r in rings if len(r) >= 3]
+                if not rings:
+                    continue
+                pieces.append(ZonePiece(tzid, poly_id, ordinal, rings))
+                ordinal += 1
     if map_version is None:
         # empty archive: no marker at all
         raise ValueError(INCOMPATIBLE_MSG.format(found="<missing>"))
