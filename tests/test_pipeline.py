@@ -411,3 +411,31 @@ def test_hamming_block_pairs_generalized_max_dist(spark):
     assert got0 == [(1, 2)]
     with pytest.raises(ValueError):
         dedup.hamming_block_pairs(df0, "doc_id", "h", 32)
+
+
+def test_kmeans_centroids_deterministic_and_improve_balance(spark, emb):
+    c1 = similarity.kmeans_centroids(emb, 8, iters=4)
+    c2 = similarity.kmeans_centroids(emb, 8, iters=4)
+    np.testing.assert_array_equal(c1, c2)  # restart-deterministic
+    init = similarity.deterministic_centroids(emb, 8)
+    assert c1.shape == init.shape
+    # trained centroids improve (or match) the spherical k-means
+    # objective: mean cosine of each vector to its assigned centroid
+    def objective(cents):
+        cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        vecs = np.array(
+            [r.embedding for r in emb.select("embedding").collect()],
+            dtype=np.float64,
+        )
+        vn = vecs / np.maximum(
+            np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12
+        )
+        return float((vn @ cn.T).max(axis=1).mean())
+    assert objective(c1) >= objective(init) - 1e-12
+    # IVF search with trained centroids still finds each query itself
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = similarity.ivf_topk(emb, q, c1, k=3, nprobe=3).collect()
+    tops = {r.query_id for r in res if r.query_id == r.vec_id}
+    assert tops == {0, 1, 2, 3, 4}

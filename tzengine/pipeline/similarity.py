@@ -130,6 +130,47 @@ def deterministic_centroids(
     return np.vstack([np.asarray(r[1], dtype=np.float64) for r in rows])
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic distributed Lloyd iterations for IVF centroids.
+
+    Init = the k smallest-id vectors (restart-stable, no RNG); each round
+    assigns every vector to its nearest centroid (vectorized matmul per
+    Arrow batch) and recomputes element-wise means JVM-side via
+    posexplode + groupBy(centroid, dim) avg — partial aggregation makes
+    the shuffle k x dim doubles per partition, independent of corpus
+    size. Only the k x dim centroid matrix ever reaches the driver.
+    Empty clusters keep their previous centroid. Stops early when
+    centroids stop moving."""
+    cents = deterministic_centroids(corpus, k, vec_col, id_col)
+    dim = cents.shape[1]
+    for _ in range(iters):
+        assigned = assign_centroids(corpus, cents, id_col, vec_col)
+        rows = (
+            assigned.select(
+                "centroid_id", F.posexplode(vec_col).alias("pos", "val")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new = cents.copy()
+        by: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by.setdefault(r.centroid_id, {})[r.pos] = r.m
+        for cid, d in by.items():
+            new[cid] = np.array([d[p] for p in range(dim)])
+        if np.allclose(new, cents, rtol=0, atol=1e-12):
+            break
+        cents = new
+    return cents
+
+
 def write_ivf_index(
     corpus: DataFrame,
     centroids: np.ndarray,
