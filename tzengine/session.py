@@ -63,6 +63,11 @@ def get_spark(
         # big Arrow batches: the probe kernel's per-batch fixed cost
         # (numpy dispatch) dominates below ~16k rows; 64k ≈ the sweet spot
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # ...but bound batches by BYTES too: multimodal rows carry
+        # MB-sized binary payloads, and 64k of those would be tens of GB
+        # per batch. Spark 4's byte cap makes the record cap safe for
+        # narrow probe rows AND wide image rows simultaneously.
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
     )
