@@ -318,6 +318,20 @@ def _full_world_contains_sql() -> list[tuple[str, str]]:
     return out
 
 
+def q_distance_boundary_planar(spark, sf_dir):
+    """Q5's planar nearest-boundary kernel on the rect world: every
+    intermediate (perpendicular foot, squared distance, sqrt) is pure
+    IEEE arithmetic that the SQL oracle mirrors AST-for-AST, so the
+    DOUBLE output hash-matches bit-for-bit. The geodesic (Vincenty)
+    variant stays pytest-golden-pinned (iterative, not SQL-portable)."""
+    pts = _events_points(spark, sf_dir)
+    eng = _rect_engine(spark)
+    out = eng.assign_timezones(pts, mode="strict")
+    return eng.distance_from_boundary(
+        out, mode="strict", metric="planar_deg", out_col="dist_deg"
+    ).select("event_id", "tzid", "dist_deg").orderBy("event_id")
+
+
 def q_distance_boundary(spark, sf_dir):
     pts = _events_points(spark, sf_dir).limit(500)
     eng = _engine(spark)
@@ -564,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "length_stats": q_length_stats,
+        "distance_boundary_planar": q_distance_boundary_planar,
         # rows-only (hash-seeded / geodesic / geometric)
         "assign_full_world": q_assign_full_world,
         "distance_boundary": q_distance_boundary,
@@ -581,6 +596,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_verify": q_payload_verify,
         "hot_cells": q_hot_cells,
     }
+
+
+def rect_case_sql() -> str:
+    return """CASE
+          WHEN lat BETWEEN 4 AND 5 AND lon BETWEEN 4 AND 5 THEN 'Zone/Small'
+          WHEN lat BETWEEN 3 AND 6 AND lon BETWEEN 3 AND 6 THEN 'Zone/Big'
+          ELSE 'Zone/Filler'
+        END"""
+
+
+def _rect_planar_dist_sql(lat0, lon0, lat1, lon1) -> str:
+    """SQL mirroring geom.planar_distance_from_boundary AST-for-AST on
+    one rectangle piece: per segment t = clip(((p-a)·d)/len2), foot =
+    a + t*d, d² = |p-foot|²; sqrt(min d²). Every constant is the exact
+    double the engine computes (len2 included), and every operation
+    appears in the same order, so DuckDB reproduces the DOUBLE output
+    bit-for-bit — simplified formulas (|lat-edge|) drift by ulps on
+    long edges where t's rounding feeds back into the foot."""
+    from tzengine import geom
+    from tzengine.zones import make_piece, _rect
+
+    piece = make_piece("Z", 0, 0, [_rect(lat0, lon0, lat1, lon1)])
+    seg_a, seg_b = geom._segments(piece.rings)
+    d2_terms = []
+    for (ax, ay), (bx, by) in zip(seg_a, seg_b):
+        dx, dy = bx - ax, by - ay
+        len2 = dx * dx + dy * dy
+        t = (
+            f"least(greatest((((lon - {ax!r}) * {dx!r} "
+            f"+ (lat - {ay!r}) * {dy!r}) / {len2!r}), 0.0), 1.0)"
+        )
+        fx = f"({ax!r} + {t} * {dx!r})"
+        fy = f"({ay!r} + {t} * {dy!r})"
+        d2_terms.append(
+            f"((lon - {fx}) * (lon - {fx}) + (lat - {fy}) * (lat - {fy}))"
+        )
+    return "sqrt(least(" + ", ".join(d2_terms) + "))"
 
 
 def _full_world_oracle_sql() -> str:
@@ -778,6 +830,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
+        """,
+        # planar boundary distance: mirror the engine's per-segment AST
+        # (perpendicular foot -> squared -> sqrt) so doubles match
+        # bit-for-bit; the containing piece per zone is its one rectangle
+        "distance_boundary_planar": f"""
+            WITH pts AS (SELECT event_id,
+                                (event_id % 1987) / 200.0 AS lat,
+                                (event_id * 7 % 1993) / 200.0 AS lon
+                         FROM events)
+            SELECT event_id,
+                   {rect_case_sql()} AS tzid,
+                   CASE {rect_case_sql()}
+                     WHEN 'Zone/Small' THEN {_rect_planar_dist_sql(4, 4, 5, 5)}
+                     WHEN 'Zone/Big' THEN {_rect_planar_dist_sql(3, 3, 6, 6)}
+                     ELSE {_rect_planar_dist_sql(0, 0, 10, 10)}
+                   END AS dist_deg
+            FROM pts ORDER BY event_id
         """,
         "length_stats": r"""
             WITH t AS (

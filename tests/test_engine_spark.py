@@ -196,3 +196,27 @@ def test_include_all_false_q1_only_path(spark, world):
     assert [r.tzid for r in q1] == [r.tzid for r in full]
     assert [r.cell_id for r in q1] == [r.cell_id for r in full]
     assert [r.zone_shard for r in q1] == [r.zone_shard for r in full]
+
+
+def test_planar_distance_metric(spark, world):
+    import numpy as np
+    from tzengine import geom
+
+    eng = TzEngine.for_everywhere(spark, world, world_version="synth1")
+    df = spark.createDataFrame(
+        [(4.5, 4.5), (0.5, 0.5)], "lat double, lon double"
+    )
+    out = eng.assign_timezones(df, mode="strict")
+    planar = {r.lat: r.d for r in eng.distance_from_boundary(
+        out, mode="strict", metric="planar_deg", out_col="d").collect()}
+    meters = {r.lat: r.d for r in eng.distance_from_boundary(
+        out, mode="strict", out_col="d").collect()}
+    # (4.5,4.5) in Zone/Small (4..5): planar 0.5 deg exactly
+    assert planar[4.5] == 0.5
+    # geodesic = one of the four equidistant planar-nearest candidates
+    # (argmin tie picks a segment; lat- vs lon-edge geodesics differ)
+    cands = [
+        float(geom.geodesic_distance_wgs84(4.5, 4.5, la, lo)[0])
+        for la, lo in [(4.0, 4.5), (5.0, 4.5), (4.5, 4.0), (4.5, 5.0)]
+    ]
+    assert any(meters[4.5] == pytest.approx(c, rel=1e-9) for c in cands)

@@ -377,10 +377,13 @@ class TzEngine:
         lon_col: str = "lon",
         mode: str = "pipeline",
         out_col: str = "boundary_dist_m",
+        metric: str = "geodesic",
     ) -> DataFrame:
-        """Q5: meters to the nearest boundary coordinate of the named
+        """Q5: distance to the nearest boundary coordinate of the named
         zone's containing piece (TimeZone.kt:41-47); clip edges count as
-        boundary. Outside point → error (strict) / null (pipeline)."""
+        boundary. ``metric="geodesic"`` = WGS84 meters (reference
+        parity); ``"planar_deg"`` = planar degrees (cheap pre-filter).
+        Outside point → error (strict) / null (pipeline)."""
         bc = self._bc
 
         @F.pandas_udf(T.DoubleType())
@@ -392,6 +395,7 @@ class TzEngine:
                 lat.to_numpy(dtype=np.float64),
                 lon.to_numpy(dtype=np.float64),
                 mode=mode,
+                metric=metric,
             )
             return pd.Series(d)
 

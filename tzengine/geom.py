@@ -500,6 +500,29 @@ def distance_from_boundary(
     return geodesic_distance_wgs84(pts[:, 1], pts[:, 0], nearest[:, 1], nearest[:, 0])
 
 
+def planar_distance_from_boundary(
+    pts: np.ndarray, rings: list[np.ndarray]
+) -> np.ndarray:
+    """Planar distance in DEGREES to the nearest boundary segment — the
+    cheap pre-filter metric (no geodesic); same nearest-point math as
+    `nearest_boundary_point`, returning sqrt(min d²)."""
+    pts = np.atleast_2d(np.asarray(pts, dtype=np.float64))
+    seg_a, seg_b = _segments(rings)
+    px = pts[:, 0][:, None]
+    py = pts[:, 1][:, None]
+    ax, ay = seg_a[:, 0][None, :], seg_a[:, 1][None, :]
+    bx, by = seg_b[:, 0][None, :], seg_b[:, 1][None, :]
+    dx, dy = bx - ax, by - ay
+    seg_len2 = dx * dx + dy * dy
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = ((px - ax) * dx + (py - ay) * dy) / seg_len2
+    t = np.where(seg_len2 > 0, np.clip(t, 0.0, 1.0), 0.0)
+    cx = ax + t * dx
+    cy = ay + t * dy
+    d2 = (px - cx) ** 2 + (py - cy) ** 2
+    return np.sqrt(d2.min(axis=1))
+
+
 def segment_box_mask(
     seg_a: np.ndarray,
     seg_b: np.ndarray,

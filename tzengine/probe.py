@@ -230,11 +230,15 @@ def distance_from_boundary_batch(
     lats: np.ndarray,
     lons: np.ndarray,
     mode: str = "strict",
+    metric: str = "geodesic",
 ) -> np.ndarray:
-    """Q5 (TimeZone.kt:41-47): for each (zone_id, point), distance in
-    meters to the planar-nearest coordinate on the boundary of the piece
-    of ``zone_id`` that contains the point (clip edges count). Outside
-    points: ValueError in strict mode (reference message), NaN in
+    """Q5 (TimeZone.kt:41-47): for each (zone_id, point), distance to the
+    planar-nearest coordinate on the boundary of the piece of ``zone_id``
+    that contains the point (clip edges count). ``metric="geodesic"`` is
+    the reference semantics (WGS84 meters); ``"planar_deg"`` returns the
+    planar degree distance — the cheap pre-filter metric, and (being
+    pure arithmetic) the one a SQL oracle can reproduce bit-for-bit.
+    Outside points: ValueError in strict mode (reference message), NaN in
     pipeline mode."""
     lats = np.asarray(lats, dtype=np.float64)
     lons = np.asarray(lons, dtype=np.float64)
@@ -264,7 +268,10 @@ def distance_from_boundary_batch(
             hit = sel[inside]
             if len(hit):
                 hp = np.stack([lons[hit], lats[hit]], axis=1)
-                out[hit] = geom.distance_from_boundary(hp, rings)
+                if metric == "planar_deg":
+                    out[hit] = geom.planar_distance_from_boundary(hp, rings)
+                else:
+                    out[hit] = geom.distance_from_boundary(hp, rings)
                 resolved[hit] = True
             sel = sel[~inside]
     if mode == "strict" and not np.all(resolved | np.equal(zarr, None)):
