@@ -453,6 +453,31 @@ def q_phash_neardup(spark, sf_dir):
     )
 
 
+def q_audio_features(spark, sf_dir):
+    """REAL WAV/PCM decode (stdlib wave + numpy): sr, duration, RMS, ZCR,
+    spectral centroid per clip. Rows-only (binary fixture input)."""
+    from tzengine.fixtures import audio_clips_df
+    from tzengine.pipeline.multimodal import audio_features
+
+    return audio_features(audio_clips_df(spark, 128, partitions=4)).orderBy(
+        "clip_id"
+    )
+
+
+def q_video_frame_sample(spark, sf_dir):
+    """REAL raw-frame container parsing: every 5th frame extracted and
+    PNG-re-encoded (actual pixels). Rows-only (binary fixture input)."""
+    from tzengine.fixtures import raw_videos_df
+    from tzengine.pipeline.multimodal import sample_video_frames
+
+    out = sample_video_frames(
+        raw_videos_df(spark, 32, frames=12, partitions=4), every_n=5
+    )
+    return out.select(
+        "video_id", "frame_no", "w", "h", F.length("bytes").alias("n_bytes")
+    ).orderBy("video_id", "frame_no")
+
+
 def q_payload_verify(spark, sf_dir):
     """Per-row payload fidelity (input_hint invariant): decoded-pixel
     exact/PSNR>=40dB + caption equality + phash stability, aggregated."""
@@ -593,6 +618,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiling_roundtrip": q_tiling_roundtrip,
         "assign_bigworld": q_assign_bigworld,
         "image_features": q_image_features,
+        "audio_features": q_audio_features,
+        "video_frame_sample": q_video_frame_sample,
         "payload_verify": q_payload_verify,
         "hot_cells": q_hot_cells,
     }

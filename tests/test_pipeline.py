@@ -439,3 +439,49 @@ def test_kmeans_centroids_deterministic_and_improve_balance(spark, emb):
     res = similarity.ivf_topk(emb, q, c1, k=3, nprobe=3).collect()
     tops = {r.query_id for r in res if r.query_id == r.vec_id}
     assert tops == {0, 1, 2, 3, 4}
+
+
+def test_audio_features_real_wav_decode(spark):
+    from tzengine.fixtures import audio_clips_df, synth_wav
+
+    df = audio_clips_df(spark, 16, partitions=2)
+    rows = {r.clip_id: r for r in multimodal.audio_features(df).collect()}
+    assert len(rows) == 16
+    r0 = rows["clip00000000"]  # 200 Hz tone, 0.5 s @ 8 kHz
+    assert r0.sample_rate == 8000 and r0.n_samples == 4000
+    assert r0.duration_s == pytest.approx(0.5)
+    assert r0.rms == pytest.approx(0.5 / np.sqrt(2), rel=1e-3)  # sine RMS
+    assert r0.spectral_centroid_hz == pytest.approx(200.0, abs=2.0)
+    r3 = rows["clip00000003"]  # 500 Hz tone
+    assert r3.spectral_centroid_hz == pytest.approx(500.0, abs=2.0)
+    # zero-crossing rate of an f-Hz tone ~ 2f/sr
+    assert r3.zcr == pytest.approx(2 * 500.0 / 8000.0, rel=0.02)
+    # foreign payloads still raise explicitly
+    bad = spark.createDataFrame([("x", bytearray(b"OggS????"))],
+                                "clip_id string, bytes binary")
+    with pytest.raises(Exception, match="NotImplementedError|audio decode"):
+        multimodal.audio_features(bad).collect()
+
+
+def test_sample_video_frames_real_rawvid(spark):
+    from tzengine import images as imglib
+    from tzengine.fixtures import raw_videos_df
+
+    df = raw_videos_df(spark, 4, frames=12, w=24, h=16, partitions=2)
+    out = multimodal.sample_video_frames(df, every_n=5, out_fmt="png").collect()
+    by_vid = {}
+    for r in out:
+        by_vid.setdefault(r.video_id, []).append(r)
+    assert set(by_vid) == {f"vid{i:08d}" for i in range(4)}
+    for vid, rs in by_vid.items():
+        assert sorted(r.frame_no for r in rs) == [0, 5, 10]
+    # sampled frame pixels are EXACTLY the source frames (PNG lossless)
+    r0 = next(r for r in out if r.video_id == "vid00000002" and r.frame_no == 5)
+    want = imglib.synth_image(2 * 1000 + 5, 24, 16)
+    got = imglib.decode(bytes(r0.bytes), "png", 24, 16)
+    np.testing.assert_array_equal(got, want)
+    # foreign containers raise explicitly
+    bad = spark.createDataFrame([("x", bytearray(b"\x00\x00\x00 ftypisom"))],
+                                "video_id string, bytes binary")
+    with pytest.raises(Exception, match="NotImplementedError|rawvid"):
+        multimodal.sample_video_frames(bad).collect()

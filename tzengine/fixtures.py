@@ -109,3 +109,78 @@ def geo_images_df(
 
     rng_df = spark.range(0, n, numPartitions=partitions or spark.sparkContext.defaultParallelism)
     return rng_df.mapInPandas(gen, GEO_IMAGES_SCHEMA)
+
+
+def synth_wav(i: int, sr: int = 8000, seconds: float = 0.5) -> bytes:
+    """Deterministic 16-bit mono WAV: a pure tone whose frequency is a
+    function of the row index (one FFT bin at this sr/length, so the
+    spectral centroid lands on it)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    n = int(sr * seconds)
+    freq = 200.0 + 100.0 * (i % 8)  # multiples of 1/seconds -> exact bins
+    t = np.arange(n) / sr
+    x = (0.5 * np.sin(2 * np.pi * freq * t) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        wf.writeframes(x.tobytes())
+    return buf.getvalue()
+
+
+def audio_clips_df(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
+    """Deterministic WAV clip table (clip_id, bytes) generated on
+    executors."""
+    from .session import ensure_shipped
+
+    ensure_shipped(spark)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "clip_id": [f"clip{int(i):08d}" for i in pdf["id"]],
+                    "bytes": [synth_wav(int(i)) for i in pdf["id"]],
+                }
+            )
+
+    base = spark.range(n)
+    if partitions:
+        base = base.repartition(partitions)
+    return base.mapInPandas(gen, "clip_id string, bytes binary")
+
+
+def raw_videos_df(spark: SparkSession, n: int, frames: int = 12,
+                  w: int = 24, h: int = 16,
+                  partitions: int | None = None) -> DataFrame:
+    """Deterministic rawvid table (video_id, bytes): each video's frames
+    are index-seeded synthetic images."""
+    from .session import ensure_shipped
+
+    ensure_shipped(spark)
+
+    def gen(batches):
+        import pandas as pd
+
+        from . import images
+        from .pipeline.multimodal import encode_rawvid
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                fs = [images.synth_image(int(i) * 1000 + k, w, h)
+                      for k in range(frames)]
+                rows.append((f"vid{int(i):08d}", encode_rawvid(fs)))
+            yield pd.DataFrame(rows, columns=["video_id", "bytes"])
+
+    base = spark.range(n)
+    if partitions:
+        base = base.repartition(partitions)
+    return base.mapInPandas(gen, "video_id string, bytes binary")

@@ -2,10 +2,11 @@
 
 Images (raw/png/q6) are REAL here — decode, resize, feature-extract, and
 re-encode run on actual pixels via the pure-numpy codecs in
-tzengine.images. Audio/video have no codecs in this container, so their
-decode steps are explicit NotImplementedError stubs behind the same
-mapInPandas plumbing (schema, batch shape, partitioning all real and
-tested — the contract the prompt asks for).
+tzengine.images. Audio is REAL for WAV/PCM payloads (stdlib ``wave`` +
+numpy features); video is REAL for the documented rawvid raw-frame
+container (parse + sample + re-encode actual pixels). Compressed
+audio/video codecs don't exist in this environment, so foreign payloads
+raise explicit NotImplementedError — nothing is silently faked.
 
 Everything is mapInPandas over Arrow batches: binary columns never pass
 through per-row Python at the plan level, and batches stream (iterator in
@@ -90,39 +91,143 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     )
 
 
-AUDIO_FEATURES_SCHEMA = "clip_id string, duration_s double, rms double"
-FRAME_SAMPLE_SCHEMA = "video_id string, frame_no int, bytes binary"
+AUDIO_FEATURES_SCHEMA = (
+    "clip_id string, sample_rate int, n_samples long, duration_s double, "
+    "rms double, zcr double, spectral_centroid_hz double"
+)
+FRAME_SAMPLE_SCHEMA = (
+    "video_id string, frame_no int, w int, h int, bytes binary"
+)
+
+#: raw-frame video container (documented wire format, real parsing):
+#: magic "RVID" + u16 w + u16 h + u16 n_frames, then n_frames raw RGB
+#: frames of w*h*3 bytes each — the plumbing target when no standard
+#: video codec library exists in the environment.
+RAWVID_MAGIC = b"RVID"
+
+
+def encode_rawvid(frames) -> bytes:
+    """Frames: list of (h, w, 3) uint8 arrays, all same shape."""
+    import struct
+
+    h, w = frames[0].shape[:2]
+    out = bytearray(RAWVID_MAGIC)
+    out += struct.pack("<HHH", w, h, len(frames))
+    for f in frames:
+        out += np.ascontiguousarray(f, dtype=np.uint8).tobytes()
+    return bytes(out)
+
+
+def decode_rawvid(data: bytes):
+    """-> (w, h, list of (h, w, 3) uint8 frames). Raises ValueError on a
+    foreign container (no standard codecs in this environment)."""
+    import struct
+
+    if data[:4] != RAWVID_MAGIC:
+        raise NotImplementedError(
+            "video decode: only the rawvid container is supported — "
+            "standard video codec libraries are not present in this "
+            "environment"
+        )
+    w, h, n = struct.unpack_from("<HHH", data, 4)
+    frames = []
+    off = 10
+    step = w * h * 3
+    for _ in range(n):
+        frames.append(
+            np.frombuffer(data, dtype=np.uint8, count=step, offset=off)
+            .reshape(h, w, 3)
+            .copy()
+        )
+        off += step
+    return w, h, frames
 
 
 def audio_features(df: DataFrame, id_col: str = "clip_id") -> DataFrame:
-    """STUB: audio decode needs a codec library absent from this
-    container. The mapInPandas plumbing (schema, batching) is real; the
-    decode raises so nothing is silently faked."""
+    """REAL audio decode for WAV/PCM payloads (stdlib ``wave`` + numpy —
+    no external codec needed): sample rate, duration, RMS, zero-crossing
+    rate, spectral centroid (rfft). Non-WAV payloads raise
+    NotImplementedError (compressed codecs absent from this environment
+    — explicit, nothing silently faked). mapInPandas streams batches; a
+    100 TB scan never materializes a partition."""
+    import io as _io
+    import wave
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if len(pdf):
-                raise NotImplementedError(
-                    "audio decode requires an audio codec library not "
-                    "present in this environment"
+            out = []
+            for r in pdf.itertuples(index=False):
+                data = bytes(r.bytes)
+                if data[:4] != b"RIFF":
+                    raise NotImplementedError(
+                        "audio decode: only WAV/PCM is supported — "
+                        "compressed-audio codec libraries are not present "
+                        "in this environment"
+                    )
+                with wave.open(_io.BytesIO(data)) as wf:
+                    sr = wf.getframerate()
+                    n = wf.getnframes()
+                    width = wf.getsampwidth()
+                    raw = wf.readframes(n)
+                if width == 2:
+                    x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+                    x /= 32768.0
+                elif width == 1:
+                    x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+                         - 128.0) / 128.0
+                else:
+                    raise NotImplementedError(
+                        f"unsupported PCM sample width: {width}"
+                    )
+                if wf.getnchannels() > 1:
+                    x = x.reshape(-1, wf.getnchannels()).mean(axis=1)
+                rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+                zcr = (
+                    float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                    if len(x) > 1 else 0.0
                 )
-            yield pd.DataFrame(columns=["clip_id", "duration_s", "rms"])
+                if len(x):
+                    spec = np.abs(np.fft.rfft(x))
+                    freqs = np.fft.rfftfreq(len(x), d=1.0 / sr)
+                    denom = spec.sum()
+                    centroid = float((freqs * spec).sum() / denom) if denom else 0.0
+                else:
+                    centroid = 0.0
+                out.append(
+                    (getattr(r, id_col), sr, len(x), len(x) / sr, rms, zcr,
+                     centroid)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[id_col, "sample_rate", "n_samples", "duration_s",
+                         "rms", "zcr", "spectral_centroid_hz"],
+            )
 
     return df.mapInPandas(op, AUDIO_FEATURES_SCHEMA)
 
 
-def sample_video_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
-    """STUB: video container parsing needs a codec library absent from
-    this container; same explicit-raise contract as audio_features."""
+def sample_video_frames(
+    df: DataFrame, every_n: int = 30, id_col: str = "video_id",
+    out_fmt: str = "png",
+) -> DataFrame:
+    """REAL frame sampling over the rawvid container: every ``every_n``-th
+    frame is extracted and re-encoded with the image codec (png/raw/q6 —
+    actual pixels, tzengine.images). Foreign containers raise
+    NotImplementedError (standard video codecs absent — explicit)."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if len(pdf):
-                raise NotImplementedError(
-                    "video decode requires a codec library not present in "
-                    "this environment"
-                )
-            yield pd.DataFrame(columns=["video_id", "frame_no", "bytes"])
+            out = []
+            for r in pdf.itertuples(index=False):
+                w, h, frames = decode_rawvid(bytes(r.bytes))
+                for fi in range(0, len(frames), every_n):
+                    out.append(
+                        (getattr(r, id_col), fi, w, h,
+                         images.encode(frames[fi], out_fmt))
+                    )
+            yield pd.DataFrame(
+                out, columns=[id_col, "frame_no", "w", "h", "bytes"]
+            )
 
     return df.mapInPandas(op, FRAME_SAMPLE_SCHEMA)
 
