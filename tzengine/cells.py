@@ -65,8 +65,11 @@ def morton_decode(m: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return _compact1by1(m), _compact1by1(m >> np.uint64(1))
 
 
-def cell_of(lon, lat, res: int) -> np.ndarray:
-    """Vectorized point → cell id at resolution ``res`` (uint64)."""
+def grid_of(lon, lat, res: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized point → (ix, iy) grid coordinates at resolution ``res``
+    (uint64 each) — the quantization step of ``cell_of``, exposed so the
+    probe kernel can reuse the integer coordinates for dense-table lookups
+    without a Morton decode."""
     if not 0 <= res <= MAX_RES:
         raise ValueError(f"resolution must be in [0, {MAX_RES}]")
     lon = np.atleast_1d(np.asarray(lon, dtype=np.float64))
@@ -76,6 +79,12 @@ def cell_of(lon, lat, res: int) -> np.ndarray:
     v = (lat + 90.0) / _LAT_SPAN
     ix = np.clip((u * float(n)).astype(np.int64), 0, int(n) - 1).astype(np.uint64)
     iy = np.clip((v * float(n)).astype(np.int64), 0, int(n) - 1).astype(np.uint64)
+    return ix, iy
+
+
+def cell_of(lon, lat, res: int) -> np.ndarray:
+    """Vectorized point → cell id at resolution ``res`` (uint64)."""
+    ix, iy = grid_of(lon, lat, res)
     return (np.uint64(res) << np.uint64(58)) | morton_encode(ix, iy)
 
 

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import json
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 
@@ -63,10 +63,17 @@ class CompiledIndex:
     ring_offsets: np.ndarray  # int64 (P+1,)
     vert_offsets: np.ndarray  # int64 (R+1,)
     verts: np.ndarray  # float64 (V, 2) lon,lat
-    # flat segment arrays (ring-closing edges included), piece -> span
+    # flat segment arrays (ring-closing edges included), piece -> span.
+    # Stored float32 when the float64->float32 round-trip is LOSSLESS
+    # (always true for unclipped worlds: every ingested coordinate sits on
+    # the f32 grid, zones.make_piece / Serialization.kt:12) — halves the
+    # random-gather bandwidth of the probe boundary kernel; the kernel
+    # upcasts gathered slices to float64 before any arithmetic so the
+    # predicates are bit-identical. Clip-generated vertices that are not
+    # f32-exact keep float64 storage (correctness over bandwidth).
     seg_offsets: np.ndarray  # int64 (P+1,)
-    seg_a: np.ndarray  # float64 (S, 2)
-    seg_b: np.ndarray  # float64 (S, 2)
+    seg_a: np.ndarray  # float32|float64 (S, 2)
+    seg_b: np.ndarray  # float32|float64 (S, 2)
     # global cell-entry arrays (E entries across all levels):
     #   rank of the piece, interior flag, even-odd state of the CELL
     #   CENTER, and the CSR of cell-local segment ids (north_star:
@@ -80,6 +87,12 @@ class CompiledIndex:
     # cell lookup per resolution: res -> (sorted cell ids, offsets,
     # entry ids)
     levels: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]]
+    # probe acceleration: res -> (tbl int32 (W*H,), ix0, iy0, W, H) dense
+    # grid over the level's cell footprint mapping (ix,iy) -> 1-based
+    # position in the level's sorted cell array (0 = miss). One gather
+    # replaces a binary search per (point, level). Levels whose footprint
+    # exceeds the memory cap fall back to searchsorted (empty dict entry).
+    level_dense: dict[int, tuple] = field(default_factory=dict)
 
     @property
     def n_pieces(self) -> int:
@@ -93,7 +106,10 @@ class CompiledIndex:
 
     def piece_segments(self, rank: int) -> tuple[np.ndarray, np.ndarray]:
         s, e = self.seg_offsets[rank], self.seg_offsets[rank + 1]
-        return self.seg_a[s:e], self.seg_b[s:e]
+        return (
+            np.asarray(self.seg_a[s:e], dtype=np.float64),
+            np.asarray(self.seg_b[s:e], dtype=np.float64),
+        )
 
     def nbytes(self) -> int:
         n = (self.verts.nbytes + self.ring_offsets.nbytes
@@ -103,6 +119,8 @@ class CompiledIndex:
              + self.ent_seg_idx.nbytes)
         for lvl in self.levels.values():
             n += sum(a.nbytes for a in lvl)
+        for d in self.level_dense.values():
+            n += d[0].nbytes
         return n
 
 
@@ -358,6 +376,13 @@ def assemble_index(
     np.cumsum(seg_counts, out=seg_offsets[1:])
     seg_a = np.vstack([d["seg_a"] for d in datas]) if P else np.zeros((0, 2))
     seg_b = np.vstack([d["seg_b"] for d in datas]) if P else np.zeros((0, 2))
+    # float32 storage when lossless (see CompiledIndex field docs): halves
+    # broadcast size and probe gather bandwidth with bit-identical results
+    sa32, sb32 = seg_a.astype(np.float32), seg_b.astype(np.float32)
+    if np.array_equal(sa32.astype(np.float64), seg_a) and np.array_equal(
+        sb32.astype(np.float64), seg_b
+    ):
+        seg_a, seg_b = sa32, sb32
     piece_bbox = (
         np.vstack([d["bbox"] for d in datas]) if P else np.zeros((0, 4))
     )
@@ -414,6 +439,7 @@ def assemble_index(
             levels[int(r_level)] = (uniq, offsets, ent)
 
     return CompiledIndex(
+        level_dense=build_level_dense(levels),
         version=f"{INDEX_FORMAT_VERSION}:{world_version}",
         init_region=(float(min_lat), float(min_lon), float(max_lat), float(max_lon)),
         zone_ids=zone_ids,
@@ -433,6 +459,45 @@ def assemble_index(
         ent_seg_idx=ent_seg_idx,
         levels=levels,
     )
+
+
+DENSE_LEVEL_CAP = 1 << 22  # max table entries per level (16 MiB int32)
+DENSE_TOTAL_CAP = 1 << 23  # max table entries across all levels
+
+
+def build_level_dense(
+    levels: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]],
+) -> dict[int, tuple]:
+    """Dense (ix, iy)-grid lookup per level: tbl[(iy-iy0)*W + (ix-ix0)] =
+    1-based position of the cell in the level's sorted array, 0 = miss.
+    Replaces the per-(point, level) binary search with one gather — the
+    search was ~40% of the probe kernel. Tables are bounded by the level's
+    cell FOOTPRINT (bbox in grid units), not 4^res, and capped so the
+    broadcast stays small; biggest-entry-count levels claim the budget
+    first (they serve the most probe hits)."""
+    dense: dict[int, tuple] = {}
+    budget = DENSE_TOTAL_CAP
+    by_entries = sorted(
+        levels.items(), key=lambda kv: len(kv[1][2]), reverse=True
+    )
+    for res, (uniq, _offsets, _ent) in by_entries:
+        if not len(uniq):
+            continue
+        morton = uniq & np.uint64((1 << 58) - 1)
+        ix, iy = cells.morton_decode(morton)
+        ix0, iy0 = int(ix.min()), int(iy.min())
+        w = int(ix.max()) - ix0 + 1
+        h = int(iy.max()) - iy0 + 1
+        size = w * h
+        if size > DENSE_LEVEL_CAP or size > budget:
+            continue
+        tbl = np.zeros(size, dtype=np.int32)
+        tbl[(iy.astype(np.int64) - iy0) * w + (ix.astype(np.int64) - ix0)] = (
+            np.arange(1, len(uniq) + 1, dtype=np.int32)
+        )
+        dense[int(res)] = (tbl, ix0, iy0, w, h)
+        budget -= size
+    return dense
 
 
 # --- durable artifact (Iceberg-style: data + JSON metadata sidecar) ---------

@@ -64,16 +64,62 @@ def probe_ranks(
     if len(vi):
         vlats, vlons = lats[vi], lons[vi]
         # one Morton encode at the finest level; coarser levels are pure
-        # bit-shifts (cell_ancestor_at) — the encode is ~half the kernel
+        # scalar bit-shifts of the base morton — the encode is ~half the
+        # lookup cost, so it runs exactly once per batch
         max_res = max(idx.levels) if idx.levels else 0
-        base_cell = cells.cell_of(vlons, vlats, max_res)
+        ix_base, iy_base = cells.grid_of(vlons, vlats, max_res)
+        base_morton = cells.morton_encode(ix_base, iy_base)
+        ix64 = ix_base.astype(np.int64)
+        iy64 = iy_base.astype(np.int64)
+        vi32 = vi.astype(np.int32)
         for res, (uniq, offsets, ent_ids) in idx.levels.items():
-            pc = cells.cell_ancestor_at(base_cell, res)
-            pos = np.searchsorted(uniq, pc)
-            pos_c = np.minimum(pos, len(uniq) - 1)
-            hit = (len(uniq) > 0) & (uniq[pos_c] == pc)
-            hit_pts = vi[hit]
-            hp = pos_c[hit]
+            if not len(uniq):
+                continue
+            shift = np.uint64(2 * (max_res - res))
+            dense = idx.level_dense.get(res)
+            if dense is not None:
+                # dense-grid lookup: one gather instead of a binary search
+                tbl, ix0, iy0, w, h = dense
+                s1 = max_res - res
+                jx = (ix64 >> s1) - ix0
+                jy = (iy64 >> s1) - iy0
+                inb = (jx >= 0) & (jx < w) & (jy >= 0) & (jy < h)
+                if inb.all():
+                    pos1 = tbl[jy * w + jx]
+                else:
+                    pos1 = np.zeros(len(vi32), dtype=np.int32)
+                    rsel = np.nonzero(inb)[0]
+                    if len(rsel):
+                        pos1[rsel] = tbl[jy[rsel] * w + jx[rsel]]
+                hitmask = pos1 > 0
+                hit_pts = vi32[hitmask]
+                if not len(hit_pts):
+                    continue
+                hp = (pos1[hitmask].astype(np.int64)) - 1
+                pc_hit = (np.uint64(res) << np.uint64(58)) | (
+                    base_morton[hitmask] >> shift
+                )
+            else:
+                pc = (np.uint64(res) << np.uint64(58)) | (base_morton >> shift)
+                # cheap range prefilter: a probe cell outside the level's
+                # [first, last] cell id can't hit — skips the binary
+                # search for points far from this level's covered area
+                in_range = (pc >= uniq[0]) & (pc <= uniq[-1])
+                if not in_range.all():
+                    rsel = np.nonzero(in_range)[0]
+                    if not len(rsel):
+                        continue
+                    pc_q, q_pts = pc[rsel], vi32[rsel]
+                else:
+                    pc_q, q_pts = pc, vi32
+                pos = np.searchsorted(uniq, pc_q)
+                pos_c = np.minimum(pos, len(uniq) - 1)
+                hit = uniq[pos_c] == pc_q
+                hit_pts = q_pts[hit]
+                if not len(hit_pts):
+                    continue
+                hp = pos_c[hit]
+                pc_hit = pc_q[hit]
             starts, ends = offsets[hp], offsets[hp + 1]
             counts = ends - starts
             total = int(counts.sum())
@@ -86,14 +132,14 @@ def probe_ranks(
             entry_idx = np.repeat(starts, counts) + (np.arange(total) - run_heads)
             pt_idx_parts.append(rep_pts)
             ent_parts.append(ent_ids[entry_idx])
-            cell_parts.append(np.repeat(pc[hit], counts))
+            cell_parts.append(np.repeat(pc_hit, counts))
 
     if pt_idx_parts:
         pt_idx = np.concatenate(pt_idx_parts)
         cand_ent = np.concatenate(ent_parts)
         cand_cell = np.concatenate(cell_parts)
     else:
-        pt_idx = np.zeros(0, dtype=np.int64)
+        pt_idx = np.zeros(0, dtype=np.int32)
         cand_ent = np.zeros(0, dtype=np.int32)
         cand_cell = np.zeros(0, dtype=np.uint64)
 
@@ -111,50 +157,99 @@ def probe_ranks(
     confirmed = cand_int.copy()
     bsel = np.nonzero(~cand_int)[0]
     if len(bsel):
-        ents = cand_ent[bsel]
-        k = (idx.ent_seg_off[ents + 1] - idx.ent_seg_off[ents]).astype(np.int64)
-        total = int(k.sum())
-        rep_pair = np.repeat(np.arange(len(bsel)), k)
-        run_heads = np.repeat(np.cumsum(k) - k, k)
-        seg_pos = np.repeat(idx.ent_seg_off[ents], k) + (
-            np.arange(total) - run_heads
-        )
-        seg_ids = idx.ent_seg_idx[seg_pos]
-        ax, ay = idx.seg_a[seg_ids, 0], idx.seg_a[seg_ids, 1]
-        bx, by = idx.seg_b[seg_ids, 0], idx.seg_b[seg_ids, 1]
-        px = lons[pt_idx[bsel]][rep_pair]
-        py = lats[pt_idx[bsel]][rep_pair]
+        ents_all = cand_ent[bsel]
+        k_all = (
+            idx.ent_seg_off[ents_all + 1] - idx.ent_seg_off[ents_all]
+        ).astype(np.int64)
+        # per-candidate point coords + cell centers, computed once
+        px_all = lons[pt_idx[bsel]]
+        py_all = lats[pt_idx[bsel]]
         cb = cells.cell_bounds(cand_cell[bsel])
-        cx = ((cb[:, 0] + cb[:, 2]) / 2.0)[rep_pair]
-        cy = ((cb[:, 1] + cb[:, 3]) / 2.0)[rep_pair]
+        cx_all = (cb[:, 0] + cb[:, 2]) / 2.0
+        cy_all = (cb[:, 1] + cb[:, 3]) / 2.0
+        cum = np.cumsum(k_all)
 
-        # on-segment (touches) test — inclusive boundary (Util.kt:12-13)
-        cross_prod = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
-        seg_len = np.hypot(bx - ax, by - ay)
-        colinear = np.abs(cross_prod) <= geom.ON_EDGE_EPS * np.maximum(seg_len, 1.0)
-        inbox = (
-            (px >= np.minimum(ax, bx) - geom.ON_EDGE_EPS)
-            & (px <= np.maximum(ax, bx) + geom.ON_EDGE_EPS)
-            & (py >= np.minimum(ay, by) - geom.ON_EDGE_EPS)
-            & (py <= np.maximum(ay, by) + geom.ON_EDGE_EPS)
-        )
-        on_seg = colinear & inbox
-        crossing = geom.segments_cross_query(cx, cy, px, py, ax, ay, bx, by)
-
-        on_any = np.bincount(rep_pair, weights=on_seg, minlength=len(bsel)) > 0
-        parity = (
-            np.bincount(rep_pair, weights=crossing, minlength=len(bsel)).astype(
-                np.int64
+        # chunk the (candidate x local-segment) pair expansion so the
+        # temporaries stay cache-resident instead of streaming multi-MB
+        # arrays through DRAM (the 8-core ladder step is bandwidth-bound
+        # before it is compute-bound)
+        PAIR_CHUNK = 1 << 16
+        start = 0
+        n_b = len(bsel)
+        while start < n_b:
+            base = int(cum[start - 1]) if start else 0
+            end = int(np.searchsorted(cum, base + PAIR_CHUNK, side="left")) + 1
+            end = min(max(end, start + 1), n_b)
+            ents = ents_all[start:end]
+            k = k_all[start:end]
+            total = int(cum[end - 1] - base)
+            rep_pair = np.repeat(np.arange(end - start), k)
+            run_heads = np.repeat(np.cumsum(k) - k, k)
+            seg_pos = np.repeat(idx.ent_seg_off[ents], k) + (
+                np.arange(total) - run_heads
             )
-            & 1
-        ).astype(bool)
-        confirmed[bsel] = on_any | (idx.ent_center[ents] ^ parity)
+            seg_ids = idx.ent_seg_idx[seg_pos]
+            # gathered slices upcast to float64 BEFORE any arithmetic:
+            # float32 storage is lossless (index.py), so every predicate
+            # below is bit-identical to the float64-storage result
+            ax = idx.seg_a[seg_ids, 0].astype(np.float64, copy=False)
+            ay = idx.seg_a[seg_ids, 1].astype(np.float64, copy=False)
+            bx = idx.seg_b[seg_ids, 0].astype(np.float64, copy=False)
+            by = idx.seg_b[seg_ids, 1].astype(np.float64, copy=False)
+            px = px_all[start:end][rep_pair]
+            py = py_all[start:end][rep_pair]
+            cx = cx_all[start:end][rep_pair]
+            cy = cy_all[start:end][rep_pair]
+
+            # on-segment (touches) test — inclusive boundary (Util.kt:12-13)
+            cross_prod = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+            seg_len = np.hypot(bx - ax, by - ay)
+            colinear = np.abs(cross_prod) <= geom.ON_EDGE_EPS * np.maximum(
+                seg_len, 1.0
+            )
+            inbox = (
+                (px >= np.minimum(ax, bx) - geom.ON_EDGE_EPS)
+                & (px <= np.maximum(ax, bx) + geom.ON_EDGE_EPS)
+                & (py >= np.minimum(ay, by) - geom.ON_EDGE_EPS)
+                & (py <= np.maximum(ay, by) + geom.ON_EDGE_EPS)
+            )
+            on_seg = colinear & inbox
+            crossing = geom.segments_cross_query(cx, cy, px, py, ax, ay, bx, by)
+
+            if np.all(k > 0):
+                # candidates are contiguous runs -> reduceat (boolean ops,
+                # no float-weighted bincount pass)
+                starts_r = (np.cumsum(k) - k).astype(np.int64)
+                on_any = np.logical_or.reduceat(on_seg, starts_r)
+                parity = np.logical_xor.reduceat(crossing, starts_r)
+            else:  # defensive: reduceat is wrong for empty runs
+                rc = end - start
+                on_any = (
+                    np.bincount(rep_pair, weights=on_seg, minlength=rc) > 0
+                )
+                parity = (
+                    np.bincount(
+                        rep_pair, weights=crossing, minlength=rc
+                    ).astype(np.int64)
+                    & 1
+                ).astype(bool)
+            confirmed[bsel[start:end]] = on_any | (
+                idx.ent_center[ents] ^ parity
+            )
+            start = end
 
     pt_idx = pt_idx[confirmed]
     cand_rank = cand_rank[confirmed]
 
-    # assemble CSR sorted by (point, rank) — rank order IS area order
-    order = np.lexsort((cand_rank, pt_idx))
+    # assemble CSR sorted by (point, rank) — rank order IS area order.
+    # Single combined-key argsort (point<<32 | rank) instead of a two-key
+    # lexsort: (point, rank) pairs are unique (a piece's covering cells
+    # are disjoint, so each piece appears at most once per point), and one
+    # int64 introsort is ~2x the speed of lexsort's two stable passes.
+    key = (pt_idx.astype(np.int64) << np.int64(32)) | cand_rank.astype(
+        np.int64
+    )
+    order = np.argsort(key)
     pt_idx, cand_rank = pt_idx[order], cand_rank[order]
     counts = np.bincount(pt_idx, minlength=n)
     offsets_out = np.zeros(n + 1, dtype=np.int64)
