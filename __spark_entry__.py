@@ -380,11 +380,19 @@ def q_embedding_neardup(spark, sf_dir):
 
 
 def q_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k: deterministic id-picked centroids, argmax-
+    cosine bucketing, top-nprobe probes, exact cosine within probed
+    buckets. Double-precision both sides (like ann_topk); the DuckDB
+    oracle mirrors centroid choice, bucket argmax (sim DESC, centroid
+    ASC), probe ranking, and the final (cosine DESC, vec_id ASC) order —
+    rank-only output, so ulp-level cosine differences don't matter."""
     from tzengine.pipeline.similarity import (
-        brute_force_topk, deterministic_centroids, ivf_topk,
+        deterministic_centroids, ivf_topk,
     )
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -540,9 +548,14 @@ def q_tar_archive_roundtrip(spark, sf_dir):
     """Reference archive-format round-trip (B7/B9 + I2/I3/I6/I7): write
     the synthetic world in the reference tar layout (version marker +
     FlatBuffers entries), reload it through the version gate + envelope
-    prune, and assign points with the reloaded engine. Rows-only (binary
-    format, no SQL analogue); byte-level parity is pinned in
-    tests/test_tararchive.py incl. the reference's own fixtures."""
+    prune, and assign points with the reloaded engine. Value-oracled:
+    the reload must reproduce the SAME containment the direct engine
+    computes, so the DuckDB oracle is the full-world boundary-inclusive
+    even-odd SQL grouped per zone — the binary ingest path (tar +
+    FlatBuffers decode + f32 grid + area sort) is verified end-to-end by
+    value, not just row count. Byte-level format parity is additionally
+    pinned in tests/test_tararchive.py incl. the reference's own
+    fixtures."""
     import tempfile
 
     from tzengine.zones import synthetic_world as _sw
@@ -554,7 +567,9 @@ def q_tar_archive_roundtrip(spark, sf_dir):
 
         tararchive.write_tar_archive(_sw(), path, "1:entrytar")
         _ENGINES[key] = TzEngine.from_tar_archive(spark, path)
-    pts = _events_points(spark, sf_dir).limit(2000)
+    # deterministic subset (limit() is order-dependent): the DuckDB oracle
+    # uses the same event_id predicate
+    pts = _events_points(spark, sf_dir).filter(F.col("event_id") < 2000)
     out = _ENGINES[key].assign_timezones(pts, mode="strict")
     return (
         out.groupBy("tzid")
@@ -564,7 +579,11 @@ def q_tar_archive_roundtrip(spark, sf_dir):
 
 
 def q_tiling_roundtrip(spark, sf_dir):
-    """Raster → vector → expand round-trip summary per zone piece."""
+    """Raster → vector round-trip summary per zone piece. Value-oracled:
+    the synthetic world's rings are axis-aligned, so the res-7 raster
+    classification (edge-touches-cell => partial, center-parity => full)
+    and the bottom-up sibling-quad merge of vectorize_coverage are both
+    ANSI-SQL-expressible (see _tiling_oracle_sql)."""
     from tzengine import tiling
 
     raster = tiling.rasterize_zones(spark, synthetic_world(), res=7)
@@ -580,6 +599,193 @@ def q_tiling_roundtrip(spark, sf_dir):
         )
         .orderBy("zone_id", "polygon_id", "kind")
     )
+
+
+def _tar_roundtrip_oracle_sql() -> str:
+    """The tar-reloaded engine must assign exactly like the direct
+    engine, so the oracle is the full-world containment SQL (first-match
+    CASE in rank order) grouped per zone over the same deterministic
+    event_id < 2000 subset."""
+    zp = _full_world_contains_sql()
+    first = (
+        "CASE "
+        + " ".join(f"WHEN {pred} THEN '{name}'" for name, pred in zp)
+        + " END"
+    )
+    return f"""
+        WITH pts AS (SELECT event_id,
+                            (event_id % 1987) / 200.0 AS lat,
+                            (event_id * 7 % 1993) / 200.0 AS lon
+                     FROM events WHERE event_id < 2000)
+        SELECT {first} AS tzid, count(*) AS n
+        FROM pts GROUP BY 1 ORDER BY tzid
+    """
+
+
+def _ivf_topk_oracle_sql() -> str:
+    """Mirrors ivf_topk exactly: centroids = the 8 smallest-id vectors
+    (centroid_id = matrix row = rank by vec_id); bucket assignment =
+    argmax cosine (ties -> lowest centroid id, np.argmax semantics);
+    probes = top-3 centroids per query (sim DESC, centroid ASC); final
+    rank = (cosine DESC, vec_id ASC) within probed buckets. Output is
+    rank-only, so the cosine rounding-path difference (normalize-then-
+    dot vs dot-over-norms) cannot flip anything short of an exact tie."""
+    return """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        cents AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, emb AS cv
+          FROM e ORDER BY vec_id LIMIT 8),
+        assign AS (
+          SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY list_cosine_similarity(e.emb, c.cv) DESC,
+                              c.cid ASC) AS r
+            FROM e, cents c) WHERE r = 1),
+        q AS (SELECT vec_id AS query_id, emb AS qv FROM e WHERE vec_id < 5),
+        probes AS (
+          SELECT query_id, cid FROM (
+            SELECT q.query_id, c.cid,
+                   row_number() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY list_cosine_similarity(q.qv, c.cv) DESC,
+                              c.cid ASC) AS r
+            FROM q, cents c) WHERE r <= 3),
+        cand AS (
+          SELECT p.query_id, a.vec_id
+          FROM probes p JOIN assign a ON a.cid = p.cid),
+        scored AS (
+          SELECT c.query_id, c.vec_id,
+                 row_number() OVER (
+                   PARTITION BY c.query_id
+                   ORDER BY list_cosine_similarity(e.emb, q2.qv) DESC,
+                            c.vec_id ASC) AS rank
+          FROM cand c
+          JOIN e ON e.vec_id = c.vec_id
+          JOIN q q2 ON q2.query_id = c.query_id)
+        SELECT query_id, vec_id, rank FROM scored
+        WHERE rank <= 5 ORDER BY query_id, rank
+    """
+
+
+def _tiling_oracle_sql(res: int = 7) -> str:
+    """Res-``res`` raster + vectorize mirror for the axis-aligned
+    synthetic world.
+
+    Raster classification per candidate cell (tiling.raster_mask_for_
+    rings): an axis-aligned edge touches/crosses a cell iff their bboxes
+    overlap INCLUSIVELY (for axis-aligned segments the Cohen-Sutherland
+    test in geom.segments_intersect_box degenerates to exactly this);
+    'full' = not crossed AND cell center strictly inside an odd number
+    of rings (centers at (k+0.5)*cellsize offsets never land on the
+    world's integer-grid edges, so strict BETWEEN == the even-odd ray
+    cast). Candidate ix/iy ranges mirror cells_covering_bbox's floor
+    arithmetic (computed on the same doubles).
+
+    Vector counts mirror vectorize_coverage's bottom-up sibling merge:
+    level r cells group by (ix//2, iy//2); groups of 4 promote, the rest
+    emit — pure (ix, iy) arithmetic, no Morton interleave needed since
+    siblings under a parent are exactly the 2x2 (ix, iy) block."""
+    from tzengine import geom
+    from tzengine.zones import synthetic_world as _sw
+
+    import numpy as np
+
+    n = 1 << res
+    lon_w = 360.0 / n
+    lat_w = 180.0 / n
+    piece_sql = []
+    for p in _sw():
+        lo_lon, lo_lat, hi_lon, hi_lat = geom.rings_bbox(p.rings)
+        ix0 = int(np.clip(np.floor((lo_lon + 180.0) / 360.0 * n), 0, n - 1))
+        ix1 = int(np.clip(np.floor((hi_lon + 180.0) / 360.0 * n), 0, n - 1))
+        iy0 = int(np.clip(np.floor((lo_lat + 90.0) / 180.0 * n), 0, n - 1))
+        iy1 = int(np.clip(np.floor((hi_lat + 90.0) / 180.0 * n), 0, n - 1))
+        seg_a, seg_b = geom._segments(p.rings)
+        crossed_terms = []
+        for (ax, ay), (bx, by) in zip(seg_a, seg_b):
+            exmin, exmax = min(ax, bx), max(ax, bx)
+            eymin, eymax = min(ay, by), max(ay, by)
+            crossed_terms.append(
+                f"({exmin!r} <= x0 + {lon_w!r} AND {exmax!r} >= x0 "
+                f"AND {eymin!r} <= y0 + {lat_w!r} AND {eymax!r} >= y0)"
+            )
+        parity_terms = []
+        for r in p.rings:
+            rlo_lon, rlo_lat, rhi_lon, rhi_lat = geom.rings_bbox([r])
+            parity_terms.append(
+                f"CAST((cx > {rlo_lon!r} AND cx < {rhi_lon!r} "
+                f"AND cy > {rlo_lat!r} AND cy < {rhi_lat!r}) AS INT)"
+            )
+        piece_sql.append(f"""
+          SELECT '{p.zone_id}' AS zone_id,
+                 CAST({p.polygon_id} AS INT) AS polygon_id,
+                 ix, iy,
+                 CASE WHEN {' OR '.join(crossed_terms)} THEN 'partial'
+                      WHEN (({' + '.join(parity_terms)}) % 2) = 1 THEN 'full'
+                 END AS kind
+          FROM (
+            SELECT CAST(t1.range AS BIGINT) AS ix, CAST(t2.range AS BIGINT) AS iy,
+                   (CAST(t1.range AS DOUBLE) / {float(n)!r}) * 360.0 - 180.0 AS x0,
+                   (CAST(t2.range AS DOUBLE) / {float(n)!r}) * 180.0 - 90.0 AS y0,
+                   ((CAST(t1.range AS DOUBLE) / {float(n)!r}) * 360.0 - 180.0
+                     + ((CAST(t1.range AS DOUBLE) / {float(n)!r}) * 360.0 - 180.0
+                        + {lon_w!r})) / 2.0 AS cx,
+                   ((CAST(t2.range AS DOUBLE) / {float(n)!r}) * 180.0 - 90.0
+                     + ((CAST(t2.range AS DOUBLE) / {float(n)!r}) * 180.0 - 90.0
+                        + {lat_w!r})) / 2.0 AS cy
+            FROM range({ix0}, {ix1 + 1}) t1 CROSS JOIN range({iy0}, {iy1 + 1}) t2
+          )""")
+    rast = " UNION ALL ".join(piece_sql)
+
+    # sibling-quad merge, res levels res..1 (vectorize_coverage mirror)
+    merge_ctes = []
+    keep_selects = []
+    prev = "full_r"
+    for lvl in range(res, 0, -1):
+        g = f"g{lvl - 1}"
+        merge_ctes.append(
+            f"{g} AS (SELECT zone_id, polygon_id, ix // 2 AS ix, "
+            f"iy // 2 AS iy, count(*) AS n4 FROM {prev} "
+            f"GROUP BY 1, 2, 3, 4)"
+        )
+        keep_selects.append(
+            f"SELECT zone_id, polygon_id, n4 AS n FROM {g} WHERE n4 < 4"
+        )
+        nxt = f"full{lvl - 1}"
+        merge_ctes.append(
+            f"{nxt} AS (SELECT zone_id, polygon_id, ix, iy FROM {g} "
+            f"WHERE n4 = 4)"
+        )
+        prev = nxt
+    keep_selects.append(
+        f"SELECT zone_id, polygon_id, CAST(1 AS BIGINT) AS n FROM {prev}"
+    )
+    keeps = " UNION ALL ".join(keep_selects)
+
+    return f"""
+        WITH rast AS ({rast}),
+        rastk AS (SELECT * FROM rast WHERE kind IS NOT NULL),
+        rastcnt AS (
+          SELECT zone_id, polygon_id, kind, count(*) AS n_raster
+          FROM rastk GROUP BY 1, 2, 3),
+        full_r AS (SELECT zone_id, polygon_id, ix, iy FROM rastk
+                   WHERE kind = 'full'),
+        {', '.join(merge_ctes)},
+        veccnt AS (
+          SELECT zone_id, polygon_id, 'full' AS kind,
+                 CAST(sum(n) AS BIGINT) AS n_vector
+          FROM ({keeps}) GROUP BY 1, 2
+          UNION ALL
+          SELECT zone_id, polygon_id, 'partial', count(*)
+          FROM rastk WHERE kind = 'partial' GROUP BY 1, 2)
+        SELECT r.zone_id, r.polygon_id, r.kind, r.n_raster, v.n_vector
+        FROM rastcnt r
+        JOIN veccnt v ON v.zone_id = r.zone_id
+                     AND v.polygon_id = r.polygon_id AND v.kind = r.kind
+        ORDER BY r.zone_id, r.polygon_id, r.kind
+    """
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -604,18 +810,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "length_stats": q_length_stats,
         "distance_boundary_planar": q_distance_boundary_planar,
-        # rows-only (hash-seeded / geodesic / geometric)
+        "ivf_topk": q_ivf_topk,
+        "tar_archive_roundtrip": q_tar_archive_roundtrip,
+        "tiling_roundtrip": q_tiling_roundtrip,
+        # rows-only (hash-seeded / geodesic / binary-payload)
         "assign_full_world": q_assign_full_world,
         "distance_boundary": q_distance_boundary,
         "knn_zones": q_knn_zones,
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash,
         "embedding_neardup": q_embedding_neardup,
-        "ivf_topk": q_ivf_topk,
         "fingerprint": q_fingerprint,
-        "tar_archive_roundtrip": q_tar_archive_roundtrip,
         "phash_neardup": q_phash_neardup,
-        "tiling_roundtrip": q_tiling_roundtrip,
         "assign_bigworld": q_assign_bigworld,
         "image_features": q_image_features,
         "audio_features": q_audio_features,
@@ -911,6 +1117,15 @@ def oracle_sql() -> dict[str, str]:
         # pieces the engine ingests
         "assign_full_world": _full_world_oracle_sql(),
         "hot_cells": _hot_cells_oracle_sql(),
+        # round-3 additions: the binary tar ingest path verified by VALUE
+        # (same containment SQL as assign_full_world, grouped per zone),
+        # the IVF approximate path (centroid choice + bucketing + probes
+        # + final order all mirrored), and the raster<->vector tiling
+        # round-trip (axis-aligned raster classification + sibling-quad
+        # merge in pure SQL)
+        "tar_archive_roundtrip": _tar_roundtrip_oracle_sql(),
+        "ivf_topk": _ivf_topk_oracle_sql(),
+        "tiling_roundtrip": _tiling_oracle_sql(),
         # quality_score: \w and \s classes agree between Java regex and
         # RE2 for this ASCII corpus; integer/integer division yields
         # double in both engines; the composite score is a sum of 0.25
