@@ -201,3 +201,21 @@ def test_malformed_entries_hit_io_error_contract(tmp_path):
         tf.addfile(bad, io.BytesIO(payload))
     with pytest.raises(RuntimeError, match="Unable to read time zone data"):
         tararchive.read_tar_archive(path2)
+
+
+def test_zstd_magic_detected_with_specific_message(tmp_path):
+    """COVERAGE gap B9: the reference's DEFAULT artifact is .tar.zstd
+    (DataLocator.kt:10-14). With no zstd codec importable the engine
+    must fail fast with the specific actionable message, not a generic
+    tar error — both for path and stream sources. (When a codec IS
+    importable the archive opens transparently; not testable here.)"""
+    if tararchive._zstd_reader_factory() is not None:
+        pytest.skip("zstd codec available: transparent path applies")
+    blob = tararchive.ZSTD_MAGIC + b"\x00" * 64
+    path = str(tmp_path / "world.tar.zstd")
+    with open(path, "wb") as f:
+        f.write(blob)
+    with pytest.raises(RuntimeError, match="zstd-compressed archive"):
+        tararchive.read_tar_archive(path)
+    with pytest.raises(RuntimeError, match="decompress externally"):
+        tararchive.read_tar_archive(io.BytesIO(blob))

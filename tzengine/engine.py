@@ -73,6 +73,7 @@ class TzEngine:
         world_version: str = "unknown",
         depth: int = 5,
         distributed: bool = False,
+        compile_partitions: int | None = None,
     ) -> "TzEngine":
         """``zones``: list[ZonePiece] or a zones DataFrame (schema
         zones.ZONES_SCHEMA_DDL). With a DataFrame the bbox prune runs as a
@@ -97,6 +98,7 @@ class TzEngine:
                 return cls._from_distributed_compile(
                     spark, pruned, min_lat, min_lon, max_lat, max_lon,
                     world_version, depth,
+                    compile_partitions=compile_partitions,
                 )
             pieces = rows_to_pieces(
                 pruned.select("zone_id", "polygon_id", "ordinal", "rings").collect()
@@ -129,6 +131,7 @@ class TzEngine:
     def _from_distributed_compile(
         cls, spark, zones_df: DataFrame, min_lat, min_lon, max_lat, max_lon,
         world_version: str, depth: int, area_col: str | None = None,
+        compile_partitions: int | None = None,
     ) -> "TzEngine":
         """Scale path for large zone sets (SURVEY §3.1): prune → clip/split
         → per-piece covering + flattening all run on executors via
@@ -199,8 +202,12 @@ class TzEngine:
                 ],
             )
 
+        # compile fan-out sized to the cluster (was a hardcoded 32):
+        # defaultParallelism == total executor cores, so every core gets
+        # compile work; callers override for very large zone worlds
+        n_parts = compile_partitions or spark.sparkContext.defaultParallelism
         rows = (
-            zones_df.repartition(32, "zone_id", "polygon_id")
+            zones_df.repartition(n_parts, "zone_id", "polygon_id")
             .groupBy("zone_id", "polygon_id")
             .applyInPandas(
                 compile_group,
@@ -513,6 +520,7 @@ class TzEngine:
             return cls._from_distributed_compile(
                 spark, df, min_lat, min_lon, max_lat, max_lon,
                 world_version, kw.get("depth", 5), area_col="area_deg2",
+                compile_partitions=kw.get("compile_partitions"),
             )
         rows = zones_df.select(
             "zone_id",

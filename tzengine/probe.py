@@ -376,43 +376,115 @@ def distance_from_boundary_batch(
     return out
 
 
+KNN_GROUP_SIZE = 64
+
+
+def _knn_piece_groups(idx: CompiledIndex, group_size: int = KNN_GROUP_SIZE):
+    """Spatially-coherent piece groups for the kNN candidate stream:
+    pieces ordered by the Morton code of their bbox center, blocked into
+    groups of ``group_size``, each with the union bbox of its members.
+    The union contains every member, so the geodesic lower bound to the
+    union bbox lower-bounds every member piece — a valid two-level BVH.
+    Cached on the index (pure function of piece_bbox)."""
+    cached = getattr(idx, "_knn_groups", None)
+    if cached is not None and cached[0] == group_size:
+        return cached[1], cached[2]
+    bb = idx.piece_bbox
+    c_lon = (bb[:, 0] + bb[:, 2]) / 2.0
+    c_lat = (bb[:, 1] + bb[:, 3]) / 2.0
+    order = np.argsort(
+        cells.cell_of(np.clip(c_lon, -180, 180), np.clip(c_lat, -90, 90), 14),
+        kind="stable",
+    )
+    members = [
+        order[s : s + group_size] for s in range(0, len(order), group_size)
+    ]
+    gb = np.stack(
+        [
+            np.array(
+                [
+                    bb[m, 0].min(), bb[m, 1].min(),
+                    bb[m, 2].max(), bb[m, 3].max(),
+                ]
+            )
+            for m in members
+        ]
+    ) if members else np.zeros((0, 4))
+    object.__setattr__(idx, "_knn_groups", (group_size, gb, members))
+    return gb, members
+
+
 def knn_zones_batch(
     idx: CompiledIndex,
     lats: np.ndarray,
     lons: np.ndarray,
     k: int,
     return_stats: bool = False,
+    group_size: int = KNN_GROUP_SIZE,
 ):
     """kNN fallback ordering (north_star): zones ordered by boundary
     distance; pieces containing the point have distance 0 and tie-break by
     area rank, so for covered points the head of the list agrees with
     getOverlappingTimeZones. Dedupes zone ids (nearest piece wins).
 
-    Scale path: pieces are evaluated in ascending order of a GUARANTEED
-    geodesic lower bound to their bbox (geom.bbox_geodesic_lower_bound);
-    a point stops as soon as it holds k distinct zones and the next
-    piece's bound exceeds its k-th zone distance — every remaining piece
-    can then neither enter nor reorder the top-k. Exact piece evaluations
-    become sub-linear in the piece count (asserted in tests) instead of
-    the former dense n_points × n_pieces sweep.
+    Scale path (two-level candidate stream): pieces are blocked into
+    Morton-ordered groups of KNN_GROUP_SIZE with union bboxes; the only
+    dense matrix is (n_points x n_groups) — n_pieces/64 columns, NOT the
+    former O(n x P) bound matrix. Each point streams candidate pieces in
+    guaranteed-nondecreasing geodesic-lower-bound order from a heap:
+    groups expand lazily (per-piece bounds computed only when the
+    group's union bound undercuts the heap top), and a point stops as
+    soon as the next candidate's bound exceeds its k-th zone distance —
+    every remaining piece can then neither enter nor reorder the top-k.
+    Peak memory is O(n x n_groups + expanded candidates); exact piece
+    evaluations stay sub-linear in P (both asserted in tests).
 
     ``return_stats=True`` additionally returns the number of exact piece
     evaluations performed (pruning evidence for tests/bench)."""
+    import heapq
+
     lats = np.asarray(lats, dtype=np.float64)
     lons = np.asarray(lons, dtype=np.float64)
     pts = np.stack([lons, lats], axis=1)
     n = len(lats)
-    n_pieces = idx.n_pieces
 
-    lb = geom.bbox_geodesic_lower_bound(lats, lons, idx.piece_bbox)  # (n,P)
-    order = np.argsort(lb, axis=1, kind="stable")
+    gb, members = _knn_piece_groups(idx, group_size)
+    n_groups = len(members)
+    if n_groups == 0:
+        out = [[] for _ in range(n)]
+        return (out, 0) if return_stats else out
+
+    lb_g = geom.bbox_geodesic_lower_bound(lats, lons, gb)  # (n, P/64)
+    order_g = np.argsort(lb_g, axis=1, kind="stable")
+
+    # per-point candidate stream state
+    heaps: list[list] = [[] for _ in range(n)]  # (piece_bound, rank)
+    gptr = np.zeros(n, dtype=np.int64)  # next unexpanded group position
+
+    def _next_candidate(i: int):
+        """Pop the globally-minimal-bound unseen piece for point ``i``,
+        expanding groups while their union bound undercuts the heap top.
+        Returns (bound, rank) or None when exhausted."""
+        h = heaps[i]
+        while gptr[i] < n_groups and (
+            not h or lb_g[i, order_g[i, gptr[i]]] <= h[0][0]
+        ):
+            g = int(order_g[i, gptr[i]])
+            gptr[i] += 1
+            m = members[g]
+            pb = geom.bbox_geodesic_lower_bound(
+                lats[i : i + 1], lons[i : i + 1], idx.piece_bbox[m]
+            )[0]
+            for b, r in zip(pb, m):
+                heapq.heappush(h, (float(b), int(r)))
+        if not h:
+            return None
+        return heapq.heappop(h)
 
     # per-point state: best (dist, rank) per zone id + cached k-th zone
-    # distance (refreshed only when zone_best changes — not re-sorted
-    # every round)
+    # distance (refreshed only when zone_best changes)
     zone_best: list[dict[str, tuple[float, int]]] = [dict() for _ in range(n)]
     kth = np.full(n, np.inf)
-    ptr = np.zeros(n, dtype=np.int64)  # next position in each point's order
     done = np.zeros(n, dtype=bool)
     n_eval = 0
 
@@ -426,15 +498,15 @@ def knn_zones_batch(
         # each piece's geometry is evaluated once per round, vectorized
         groups: dict[int, list[int]] = {}
         for i in np.nonzero(~done)[0]:
-            if ptr[i] >= n_pieces:
+            nxt = _next_candidate(i)
+            if nxt is None:
                 done[i] = True
                 continue
-            r = int(order[i, ptr[i]])
-            if lb[i, r] > kth[i]:
+            b, r = nxt
+            if b > kth[i]:
                 done[i] = True  # no remaining piece can change the top-k
                 continue
             groups.setdefault(r, []).append(int(i))
-            ptr[i] += 1
         if not groups:
             break
         for r, idxs in groups.items():

@@ -50,6 +50,91 @@ INCOMPATIBLE_MSG = (
 )
 IO_ERROR_MSG = "Unable to read time zone data resource file"
 
+# The reference's DEFAULT distribution artifact is zstd-compressed tar
+# (timezonemap-<v>.tar.zstd, DataLocator.kt:10-14, written by
+# builder Main.kt:152-157). This sandbox's Python has no zstd codec and
+# pip is unavailable, so when no codec imports the engine fails FAST
+# with a specific, actionable message instead of a generic tar error;
+# when a codec IS importable (zstandard, or stdlib compression.zstd on
+# Python >= 3.14) the archive is decompressed transparently.
+ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
+ZSTD_NO_CODEC_MSG = (
+    "zstd-compressed archive detected (magic 0x28B52FFD) but no zstd "
+    "codec is importable in this environment; decompress externally "
+    "(e.g. `zstd -d <archive>`) and pass the plain tar"
+)
+
+
+def _zstd_reader_factory():
+    """A callable wrapping a binary stream in a zstd decompressor, or
+    None when no codec is importable."""
+    try:
+        import zstandard as _zstd  # type: ignore
+
+        return lambda f: _zstd.ZstdDecompressor().stream_reader(f)
+    except ImportError:
+        pass
+    try:
+        from compression import zstd as _czstd  # type: ignore  # py3.14+
+
+        return lambda f: _czstd.ZstdFile(f)
+    except ImportError:
+        return None
+
+
+class _ChainedReader:
+    """Replays already-peeked head bytes before the underlying stream —
+    a plain read()-only object (all tarfile's streaming mode and the
+    zstd stream decompressors need)."""
+
+    def __init__(self, head: bytes, rest):
+        self._head = head
+        self._rest = rest
+
+    def readable(self) -> bool:
+        return True
+
+    def read(self, n: int = -1) -> bytes:
+        if self._head:
+            if n is None or n < 0 or n >= len(self._head):
+                out, self._head = self._head, b""
+                if n is not None and n >= 0:
+                    n -= len(out)
+                    if n == 0:
+                        return out
+                rest = self._rest.read(n if n is not None and n >= 0 else -1)
+                return out + (rest or b"")
+            out, self._head = self._head[:n], self._head[n:]
+            return out
+        return self._rest.read(n)
+
+
+def _open_archive(source):
+    """Open a reference archive as a tarfile, transparently handling the
+    zstd-compressed variant (see ZSTD_NO_CODEC_MSG)."""
+    if isinstance(source, (str, bytes)):
+        with open(source, "rb") as probe_f:
+            head = probe_f.read(4)
+        if head == ZSTD_MAGIC:
+            factory = _zstd_reader_factory()
+            if factory is None:
+                raise RuntimeError(ZSTD_NO_CODEC_MSG)
+            return tarfile.open(
+                fileobj=factory(open(source, "rb")), mode="r|"
+            )
+        return tarfile.open(source, "r")
+    head = source.read(4)
+    if head == ZSTD_MAGIC:
+        factory = _zstd_reader_factory()
+        if factory is None:
+            raise RuntimeError(ZSTD_NO_CODEC_MSG)
+        return tarfile.open(
+            fileobj=factory(_ChainedReader(head, source)), mode="r|"
+        )
+    return tarfile.open(
+        fileobj=_ChainedReader(head, source), mode="r|*"
+    )
+
 
 # --------------------------------------------------------------------------
 # FlatBuffers (fixed schema) — reader
@@ -298,10 +383,9 @@ def read_tar_archive(
     (TimeZoneMap.kt:254-259). ``source`` is a path or a binary stream
     (the reference API takes an InputStream)."""
     try:
-        if isinstance(source, (str, bytes)):
-            tf = tarfile.open(source, "r")
-        else:
-            tf = tarfile.open(fileobj=source, mode="r|*")
+        tf = _open_archive(source)
+    except RuntimeError:
+        raise  # the specific zstd-no-codec message
     except (OSError, tarfile.TarError) as ex:
         raise RuntimeError(IO_ERROR_MSG) from ex
 
