@@ -230,8 +230,41 @@ def test_geojsonl_fallback_ordinal_is_content_hash(spark, tmp_path):
     with open(path, "w") as f:
         f.write(json.dumps(feat) + "\n")
     rows = geojson.zones_from_geojsonl(spark, path).collect()
-    expected = zlib.crc32(b"Test/Zone") % (1 << 30)
+    # ADVICE r2 #4: hash of the WHOLE feature line, not the tzid — two
+    # features sharing a tzid must not collide
+    expected = zlib.crc32(json.dumps(feat).encode("utf-8")) % (1 << 30)
     assert [r.ordinal for r in rows] == [expected]
+
+    # two distinct features with the SAME tzid -> distinct ordinals
+    feat2 = dict(feat)
+    feat2["geometry"] = {
+        "type": "Polygon",
+        "coordinates": [[[2.0, 2.0], [3.0, 2.0], [3.0, 3.0], [2.0, 3.0],
+                         [2.0, 2.0]]],
+    }
+    path2 = str(tmp_path / "two.geojsonl")
+    with open(path2, "w") as f:
+        f.write(json.dumps(feat) + "\n")
+        f.write(json.dumps(feat2) + "\n")
+    ords = sorted(
+        r.ordinal for r in geojson.zones_from_geojsonl(spark, path2).collect()
+    )
+    assert len(set(ords)) == 2
+
+
+def test_compile_rejects_duplicate_ordinals():
+    # residual content-hash collisions must fail fast, not silently
+    # corrupt the (area, ordinal) tie-break (ADVICE r2 #4)
+    import pytest
+    from tzengine import index
+    from tzengine.zones import make_piece, _rect
+
+    pieces = [
+        make_piece("Zone/A", 0, 7, [_rect(0, 0, 1, 1)]),
+        make_piece("Zone/B", 0, 7, [_rect(2, 2, 3, 3)]),
+    ]
+    with pytest.raises(ValueError, match="duplicate zone-piece ordinal"):
+        index.compile_index(pieces, -90, -180, 90, 180, world_version="x")
 
 
 def test_geojson_self_intersecting_ring_repaired(spark, tmp_path):

@@ -195,3 +195,125 @@ def test_split_simple_ring_unchanged():
     sq = np.array([[0, 0], [0, 3], [3, 3], [3, 0]], dtype=float)
     loops = geom.split_self_intersections(sq)
     assert len(loops) == 1 and np.array_equal(loops[0], sq)
+
+
+def test_split_vertex_pinch_figure_eight():
+    # a figure-eight pinched at a repeated VERTEX (endpoint/endpoint
+    # contact, no segment crossing) must split into its two lobes —
+    # ADVICE r2 #2: the crossing inserter excludes endpoint contacts, so
+    # the walk must pop on repeated original vertices too
+    import numpy as np
+    from tzengine import geom
+
+    eight = np.array(
+        [[0, 0], [2, 0], [2, 2], [0, 2], [0, 0], [-2, 0], [-2, -2], [0, -2]],
+        dtype=float,
+    )
+    loops = geom.split_self_intersections(eight)
+    assert len(loops) == 2
+    areas = sorted(abs(geom.ring_signed_area(l)) for l in loops)
+    assert areas == [4.0, 4.0]
+    # every emitted loop is simple (the docstring promise)
+    for l in loops:
+        assert not geom._any_ring_crossing(l)
+        assert len({tuple(v) for v in l}) == len(l)
+
+
+def test_split_opposite_winding_pinch_orients_per_lobe():
+    # lobes winding oppositely: after the pinch split each lobe is
+    # normalized INDIVIDUALLY (the combined signed area of the unsplit
+    # eight is ~0 and would mis-orient one lobe)
+    import numpy as np
+    from tzengine import geom
+    from tzengine.geojson import _normalize_ring
+
+    eight = [
+        [0, 0], [2, 0], [2, 2], [0, 2],   # CCW lobe
+        [0, 0], [0, -2], [2, -2], [2, 0e0],
+    ]
+    eight = [[float(x), float(y)] for x, y in eight]
+    out = _normalize_ring(eight + [eight[0]], want_cw=True)
+    assert len(out) == 2
+    for loop in out:
+        assert geom.ring_signed_area(loop) < 0  # all enforced CW
+
+
+def test_simplicity_prescreen_skips_quadratic_search(monkeypatch):
+    # ADVICE r2 #1: simple rings must NOT run the O(n^2) crossing search
+    import numpy as np
+    from tzengine import geom
+
+    called = []
+    real = geom._seg_intersections
+
+    def spy(ring):
+        called.append(len(ring))
+        return real(ring)
+
+    monkeypatch.setattr(geom, "_seg_intersections", spy)
+    th = np.linspace(0, 2 * np.pi, 5000, endpoint=False)
+    big_simple = np.stack([np.cos(th), np.sin(th)], axis=1)
+    loops = geom.split_self_intersections(big_simple)
+    assert len(loops) == 1 and len(loops[0]) == 5000
+    assert called == []  # prescreen said simple -> full search skipped
+
+    bow = np.array([[0, 0], [2, 2], [2, 0], [0, 2]], dtype=float)
+    assert len(geom.split_self_intersections(bow)) == 2
+    assert called == [4]  # crossing detected -> full repair ran
+
+
+def test_b4_shared_edge_degenerate_ring():
+    # B4 parity stress (VERDICT r2 #9): a ring that doubles back along a
+    # SHARED EDGE (two sub-rects joined by a zero-width corridor run
+    # twice). esri OperatorSimplify erases the zero-area corridor and
+    # keeps the two lobes; the engine must produce simple loops whose
+    # total area equals the true covered area, with the corridor gone.
+    import numpy as np
+    from tzengine import geom
+
+    # square [0,2]x[0,2] + square [4,6]x[0,2] joined by edge y=1, x 2->4
+    # traversed out and back (zero width)
+    ring = np.array(
+        [
+            [0, 0], [2, 0], [2, 1], [4, 1],       # corridor out
+            [4, 0], [6, 0], [6, 2], [4, 2],
+            [4, 1], [2, 1],                        # corridor back (same edge)
+            [2, 2], [0, 2],
+        ],
+        dtype=float,
+    )
+    loops = geom.split_self_intersections(ring)
+    for l in loops:
+        assert len({tuple(v) for v in l}) == len(l)
+    total = sum(abs(geom.ring_signed_area(l)) for l in loops)
+    assert total == 8.0  # two 2x2 lobes, corridor contributes nothing
+    # corridor midpoint is not interior
+    assert not geom.points_in_rings_evenodd(
+        np.array([[3.0, 1.0 + 1e-9]]), *geom._segments(loops)
+    )[0]
+
+
+def test_b4_ring_overlaps_ring_even_odd_semantics():
+    # B4 parity stress: RING-OVERLAPS-RING (a second ring of the same
+    # polygon sticking partly outside the first — degenerate input esri
+    # OperatorSimplify would rebuild into OGC-valid rings). Each ring is
+    # individually simple, so the per-ring repair passes both through
+    # unchanged, and containment follows the even-odd rule over the
+    # combined segment set: single-covered regions are IN, the doubly-
+    # covered lens is OUT. This matches the alternate-fill reading of
+    # the degenerate input; the intentional divergence from esri (which
+    # would union overlapping OUTER rings) is documented in COVERAGE.md.
+    import numpy as np
+    from tzengine import geom
+
+    outer = np.array([[0, 0], [4, 0], [4, 4], [0, 4]], dtype=float)
+    over = np.array([[2, 1], [6, 1], [6, 3], [2, 3]], dtype=float)
+    assert len(geom.split_self_intersections(outer)) == 1
+    assert len(geom.split_self_intersections(over)) == 1
+    segs = geom._segments([outer, over])
+    # outer-only region: inside
+    assert geom.points_in_rings_evenodd(np.array([[1.0, 2.0]]), *segs)[0]
+    # overlap lens (covered by both rings): even-odd -> outside
+    assert not geom.points_in_rings_evenodd(np.array([[3.0, 2.0]]), *segs)[0]
+    # second-ring-only region: inside
+    assert geom.points_in_rings_evenodd(np.array([[5.0, 2.0]]), *segs)[0]

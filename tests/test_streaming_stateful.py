@@ -159,3 +159,58 @@ def test_streaming_dedup_ttl_last_seen_refresh(spark, tmp_path):
     # "a" emitted exactly once: first-seen expiry would have re-emitted
     # it at b2 (>11s > 9s ttl); last-seen keeps it alive (~5.5s < 9s)
     assert rows == [(1, "a"), (1, "b")]
+
+
+def test_streaming_dedup_quiet_key_state_reclaimed(spark, tmp_path):
+    """VERDICT r2 #8: a key that receives NO further traffic must still
+    leave the state store — a maintenance tick (NULL id) sweeps its
+    expired entries and removes the emptied key. Asserted on the state
+    operator's own numRowsTotal metric, not just on output behavior."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    src = str(tmp_path / "quiet_src")
+    os.makedirs(src + "/all")
+    schema = "phash long, image_id string"
+
+    def feed(name, rows_data):
+        spark.createDataFrame(rows_data, schema).coalesce(1).write.parquet(
+            src + f"/{name}", mode="overwrite"
+        )
+        shutil.copy(
+            glob.glob(src + f"/{name}/part-*.parquet")[0],
+            src + f"/all/{name}.parquet",
+        )
+
+    feed("b0", [(1, "a"), (2, "x")])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/all")
+    )
+    out = streaming.streaming_dedup(stream, ttl=500)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_quiet")
+        .option("checkpointLocation", str(tmp_path / "ck_quiet"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("select * from dedup_quiet").count() == 2
+        assert q.lastProgress["stateOperators"][0]["numRowsTotal"] == 2
+
+        time.sleep(2.0)  # both keys go fully quiet past the 500ms TTL
+        # maintenance ticks built from the sink's own distinct keys —
+        # no data rows for either key, yet their state must be removed
+        keys = spark.sql("select distinct phash from dedup_quiet")
+        ticks = [(r.phash, None) for r in keys.collect()]
+        feed("ticks", ticks)
+        q.processAllAvailable()
+        assert spark.sql("select * from dedup_quiet").count() == 2  # no emits
+        assert q.lastProgress["stateOperators"][0]["numRowsTotal"] == 0
+    finally:
+        q.stop()

@@ -216,6 +216,13 @@ class TzEngine:
             )
             .collect()
         )
+        keys = {(r.ordinal, r.comp) for r in rows}
+        if len(keys) != len(rows):  # same contract as compile_index
+            raise ValueError(
+                "duplicate zone-piece ordinal in distributed compile: "
+                "ordinals must be globally unique for a deterministic "
+                "area-sort tie-break"
+            )
         rows.sort(key=lambda r: (r.pre_area, r.ordinal, r.comp))  # I11
         metas = [(r.zone_id, r.polygon_id, r.pre_area) for r in rows]
         datas = [indexmod.unpack_piece(bytes(r.blob)) for r in rows]
@@ -477,9 +484,27 @@ class TzEngine:
 
     def save_tar_archive(self, path: str) -> None:
         """Write the engine's zone set in the reference archive layout
-        (round-trips through ``from_tar_archive``)."""
+        (round-trips through ``from_tar_archive``).
+
+        Rank-order parity across the round-trip is guaranteed only for
+        FULL-WORLD engines: the tar format stores rings only (like the
+        reference archive), so a reloaded engine re-sorts by the rings'
+        post-clip area — a region-initialized engine whose clip changed
+        piece areas can reorder overlapping zones. The Parquet artifact
+        (``save_artifact``) carries the pre-clip areas and round-trips
+        rank exactly for any region (ADVICE r2 #3)."""
+        import warnings
+
         from . import tararchive
 
+        if self.idx.init_region != (-90.0, -180.0, 90.0, 180.0):
+            warnings.warn(
+                "save_tar_archive on a region-initialized engine: the tar "
+                "format stores clipped rings without pre-clip areas, so "
+                "overlapping-zone order may change across a reload; use "
+                "save_artifact for exact rank round-trips",
+                stacklevel=2,
+            )
         pieces = [
             ZonePiece(
                 self.idx.zone_ids[rank],

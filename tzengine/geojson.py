@@ -143,15 +143,19 @@ def zones_from_geojsonl(spark: SparkSession, path: str) -> DataFrame:
                 feature = json.loads(line)
                 # stable ordinal: the feature must carry its own index
                 # (feature_ordinal) for EXACT reference ingest-order
-                # parity at world scale; the fallback is a seeded content
-                # hash (crc32) — deterministic across processes/sessions
+                # parity at world scale; the fallback is a content hash
+                # (crc32 of the WHOLE feature line, not just the tzid —
+                # two features sharing a tzid must not collide, ADVICE
+                # r2 #4) — deterministic across processes/sessions
                 # (Python's str hash is salt-randomized and only looks
-                # stable because Spark pins worker PYTHONHASHSEED)
+                # stable because Spark pins worker PYTHONHASHSEED).
+                # Residual 2^-30 cross-feature collisions fail fast at
+                # compile time (index.compile_index duplicate-ordinal
+                # check) instead of silently corrupting the tie-break.
                 props = feature.get("properties") or {}
                 base = props.get("feature_ordinal")
                 if base is None:
-                    tzid = str(props.get("tzid", ""))
-                    base = zlib.crc32(tzid.encode("utf-8")) % (1 << 30)
+                    base = zlib.crc32(line.encode("utf-8")) % (1 << 30)
                 for p in feature_to_pieces(feature, ordinal_base=int(base)):
                     out.extend(pieces_to_rows([p]))
             cols = [

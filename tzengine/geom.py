@@ -849,16 +849,112 @@ def _seg_intersections(ring: np.ndarray) -> dict[int, list[tuple[float, np.ndarr
     return out
 
 
+def _any_ring_crossing(ring: np.ndarray) -> bool:
+    """Cheap exact simplicity prescreen: uniform-grid bucketing of
+    segment bboxes (O(n) expected for boundary-style rings) narrows to
+    the candidate pairs, then the SAME intersection predicate as
+    _seg_intersections runs on just those pairs. No false negatives:
+    intersecting segments have overlapping bboxes, and overlapping
+    bboxes share at least one grid cell. Degenerate inputs whose
+    segments span many cells fall back to True (the full repair
+    decides). This keeps ingest near-linear for already-simple rings —
+    real timezone-boundary rings reach 10^4-10^5 vertices and the full
+    n-pass check is quadratic (ADVICE r2 #1)."""
+    n = len(ring)
+    if n < 4:
+        return False
+    a = ring
+    b = np.roll(ring, -1, axis=0)
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    gx0, gy0 = float(lo[:, 0].min()), float(lo[:, 1].min())
+    gx1, gy1 = float(hi[:, 0].max()), float(hi[:, 1].max())
+    g = max(int(np.ceil(np.sqrt(n))), 1)
+    wx = max((gx1 - gx0) / g, 1e-300)
+    wy = max((gy1 - gy0) / g, 1e-300)
+    ix0 = np.clip(((lo[:, 0] - gx0) / wx).astype(np.int64), 0, g - 1)
+    ix1 = np.clip(((hi[:, 0] - gx0) / wx).astype(np.int64), 0, g - 1)
+    iy0 = np.clip(((lo[:, 1] - gy0) / wy).astype(np.int64), 0, g - 1)
+    iy1 = np.clip(((hi[:, 1] - gy0) / wy).astype(np.int64), 0, g - 1)
+    spans = (ix1 - ix0 + 1) * (iy1 - iy0 + 1)
+    if int(spans.sum()) > 8 * n:
+        return True  # long-span segments: let the full pass decide
+    # expand (segment -> covered cells) CSR-style
+    seg_rep = np.repeat(np.arange(n), spans)
+    heads = np.repeat(np.cumsum(spans) - spans, spans)
+    k = np.arange(len(seg_rep)) - heads
+    row_w = (ix1 - ix0 + 1)[seg_rep]
+    cix = ix0[seg_rep] + k % row_w
+    ciy = iy0[seg_rep] + k // row_w
+    cell = ciy * g + cix
+    order = np.argsort(cell, kind="stable")
+    cell_s, seg_s = cell[order], seg_rep[order]
+    # candidate pairs inside each cell (cells are tiny for sane rings)
+    starts = np.nonzero(np.diff(cell_s, prepend=-1))[0]
+    ends = np.append(starts[1:], len(cell_s))
+    pi, pj = [], []
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        segs = np.unique(seg_s[s:e])
+        m = len(segs)
+        if m < 2:
+            continue
+        ii, jj = np.triu_indices(m, k=1)
+        pi.append(segs[ii])
+        pj.append(segs[jj])
+    if not pi:
+        return False
+    i_arr = np.concatenate(pi)
+    j_arr = np.concatenate(pj)
+    # drop adjacent pairs (share a vertex by construction)
+    d = (j_arr - i_arr) % n
+    keep = (d != 1) & (d != n - 1) & (d != 0)
+    i_arr, j_arr = i_arr[keep], j_arr[keep]
+    if not len(i_arr):
+        return False
+    # exact pair test — same predicate as _seg_intersections
+    bb = ~(
+        (hi[j_arr, 0] < lo[i_arr, 0])
+        | (lo[j_arr, 0] > hi[i_arr, 0])
+        | (hi[j_arr, 1] < lo[i_arr, 1])
+        | (lo[j_arr, 1] > hi[i_arr, 1])
+    )
+    i_arr, j_arr = i_arr[bb], j_arr[bb]
+    if not len(i_arr):
+        return False
+    p = a[i_arr]
+    r = (b - a)[i_arr]
+    q = a[j_arr]
+    s = (b - a)[j_arr]
+    denom = r[:, 0] * s[:, 1] - r[:, 1] * s[:, 0]
+    qp = q - p
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (qp[:, 0] * s[:, 1] - qp[:, 1] * s[:, 0]) / denom
+        u = (qp[:, 0] * r[:, 1] - qp[:, 1] * r[:, 0]) / denom
+    hit = (
+        (denom != 0.0)
+        & (t >= -1e-12) & (t <= 1 + 1e-12)
+        & (u >= -1e-12) & (u <= 1 + 1e-12)
+        & ~(((t < 1e-12) | (t > 1 - 1e-12)) & ((u < 1e-12) | (u > 1 - 1e-12)))
+    )
+    return bool(hit.any())
+
+
 def split_self_intersections(ring: np.ndarray, min_area: float = 1e-14) -> list[np.ndarray]:
     """Untangle a possibly self-intersecting ring into SIMPLE loops
     (public even-odd untangling: insert crossing points as vertices, then
-    pop a loop every time the walk revisits a crossing coordinate).
-    Figure-eights split into their lobes, spikes and zero-area loops are
-    dropped (reference: esri ``OperatorSimplify`` in cleanseRegion,
-    builder/.../Main.kt:44-60 — regions empty after cleansing are
-    filtered). A simple ring comes back unchanged (fast path)."""
+    pop a loop every time the walk revisits a coordinate — an inserted
+    crossing OR a repeated original vertex, so a figure-eight pinched at
+    a shared VERTEX splits into its lobes too, each then orientation-
+    normalized individually by the caller). Figure-eights split into
+    their lobes, spikes and zero-area loops are dropped (reference: esri
+    ``OperatorSimplify`` in cleanseRegion, builder/.../Main.kt:44-60 —
+    regions empty after cleansing are filtered). A simple ring comes
+    back unchanged, and a grid prescreen (_any_ring_crossing) skips the
+    quadratic crossing search entirely for simple input."""
     ring = np.asarray(ring, dtype=np.float64)
-    cross = _seg_intersections(ring)
+    cross = _seg_intersections(ring) if _any_ring_crossing(ring) else {}
 
     # rebuild the cycle with crossing vertices inserted in order
     cycle: list[tuple[tuple[float, float], bool]] = []  # (coord, is_crossing)
@@ -890,9 +986,13 @@ def split_self_intersections(ring: np.ndarray, min_area: float = 1e-14) -> list[
         if len(arr) >= 3 and abs(ring_signed_area(arr)) > min_area:
             loops.append(arr)
 
-    for coord, is_crossing in cycle:
+    for coord, _is_crossing in cycle:
         key = coord
-        if is_crossing and key in pos:
+        # ANY revisited coordinate pops a loop: inserted crossings AND
+        # repeated original vertices (vertex-pinch figure-eights — a
+        # simple ring never revisits a coordinate, so this is always a
+        # valid split point; ADVICE r2 #2)
+        if key in pos:
             start = pos[key]
             emit(path[start:])
             for c in path[start + 1 :]:

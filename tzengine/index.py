@@ -228,6 +228,21 @@ def compile_index(
     """
     validate_region(min_lat, min_lon, max_lat, max_lon)
 
+    # ordinals are the (area, ordinal) tie-break AND the key of
+    # precomputed_areas: a duplicate would make rank order input-
+    # dependent and silently overwrite one piece's area on artifact
+    # reload — fail fast instead (ADVICE r2 #4: the geojsonl content-
+    # hash ordinal fallback can collide at ~2^-30 per pair)
+    seen_ordinals: set[int] = set()
+    for p in pieces:
+        if p.ordinal in seen_ordinals:
+            raise ValueError(
+                f"duplicate zone-piece ordinal {p.ordinal} "
+                f"(zone {p.zone_id}/{p.polygon_id}): ordinals must be "
+                "globally unique for a deterministic area-sort tie-break"
+            )
+        seen_ordinals.add(p.ordinal)
+
     def sort_area(p: ZonePiece) -> float:
         if precomputed_areas is not None and p.ordinal in precomputed_areas:
             return precomputed_areas[p.ordinal]

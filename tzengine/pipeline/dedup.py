@@ -8,6 +8,17 @@ shingle) so the cross product never materializes; the only Python is a
 vectorized bit-packing UDF for SimHash and the hyperplane projection for
 embedding LSH. Every groupBy key is either high-cardinality (hashes) or
 explicitly salted by the caller via functions.salted_count.
+
+Persisted-intermediate lifecycle (ADVICE r2 #5): several operators
+persist a multiply-consumed intermediate (shingle explode, minhash
+signatures, simhash blocks, LSH sketches) that the returned lazy plan
+references, so they cannot be unpersisted inside the builder. They are
+released by Spark's ContextCleaner when the returned DataFrame (and the
+plan nodes it holds) are garbage-collected driver-side, and cached
+blocks are LRU-evictable before that — but a LONG-RUNNING session that
+keeps many returned plans alive should materialize results and drop the
+references (or call spark.catalog.clearCache() between pipeline stages)
+to release executor storage memory deterministically.
 """
 
 from __future__ import annotations
@@ -86,10 +97,6 @@ def ngram_jaccard_pairs(
         word_shingles(df.select(id_col, text_col), text_col, n)
         .select(id_col, F.explode(F.array_distinct("shingles")).alias("shingle"))
     )
-    # the shingle explode feeds three consumers (sizes + both sides of the
-    # inverted-index self-join); without a persist Spark recomputes the
-    # explode per consumer — at 100 TB that's 3x the scan
-    sh = sh.persist()
     if max_doc_freq is not None:
         # hot shingles are FEW by definition (df > cap) — broadcast anti-join
         hot = (
@@ -98,7 +105,14 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") > max_doc_freq)
             .select("shingle")
         )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti").persist()
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    # ONE persist, after the optional hot-shingle cap (persisting before
+    # it left an orphaned cached plan pinning storage memory for the
+    # session, ADVICE r2 #5): the capped explode feeds three consumers
+    # (sizes + both sides of the inverted-index self-join); without a
+    # persist Spark recomputes the explode per consumer — at 100 TB
+    # that's 3x the scan. Lifecycle: see the module docstring.
+    sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -71,8 +71,14 @@ def streaming_dedup(
     hits a Spark 4.1 internal NPE (PythonSQLMetrics with a null plan
     session) in this environment, and transformWithStateInPandas's
     ListState TTL needs google.protobuf, which this environment lacks.
-    Both would remove fully-quiet keys too; lazy TTL bounds every key
-    that still receives traffic."""
+    Lazy TTL bounds every key that still receives traffic; FULLY-QUIET
+    keys are reclaimed by maintenance ticks: a row whose ``id_col`` is
+    NULL touches its key WITHOUT inserting anything — expired entries
+    are swept and a key whose state empties is removed outright
+    (``state.remove``). ``dedup_maintenance_ticks`` builds a tick frame
+    from any key source (the natural one is the sink's own distinct
+    keys: every stored key was emitted at least once); union it into the
+    input stream on whatever cadence bounds your state (VERDICT r2 #8)."""
     import time as _time
 
     import pandas as pd
@@ -96,12 +102,16 @@ def streaming_dedup(
         touched = False
         for pdf in pdfs:
             for v in pdf[id_col]:
+                if v is None or (isinstance(v, float) and v != v):
+                    continue  # maintenance tick: sweep only, insert nothing
                 if v not in last:
                     fresh.append(v)
                 elif ttl is not None:
                     touched = True  # LAST-seen semantics: refresh below
                 last[v] = now_ms
-        if fresh or touched or len(last) - len(fresh) != n_before:
+        if not last and state.exists:
+            state.remove()  # quiet key fully expired -> zero state rows
+        elif fresh or touched or len(last) - len(fresh) != n_before:
             state.update((list(last), [last[i] for i in last]))
         yield pd.DataFrame({key_col: [key[0]] * len(fresh), id_col: fresh})
 
@@ -110,6 +120,20 @@ def streaming_dedup(
         .applyInPandasWithState(
             dedup_fn, out_schema, state_schema, "append", "NoTimeout"
         )
+    )
+
+
+def dedup_maintenance_ticks(
+    keys_df: DataFrame, key_col: str = "phash", id_col: str = "image_id"
+) -> DataFrame:
+    """Maintenance-tick rows for ``streaming_dedup``: one NULL-id row per
+    key. Ticks touch their key so the lazy TTL sweeps it, and a key whose
+    entries have all expired is REMOVED from the state store — the
+    reclamation path for keys that stopped receiving traffic. Feed any
+    key source; the sink's distinct keys are always sufficient (every
+    stored key was emitted on first sight)."""
+    return keys_df.select(
+        F.col(key_col), F.lit(None).cast("string").alias(id_col)
     )
 
 
