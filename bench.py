@@ -201,25 +201,18 @@ def main() -> None:
         best_el32 = el32 if best_el32 is None else min(best_el32, el32)
     thr[cores] = n_rows / best_el32
 
+    # headline assign wall at REPLICATE=10 from a dedicated pinned child
+    # (fresh pinned JVM, min-of-5 in-child runs, best of 2 sessions) —
+    # the same measurement r01/r02 recorded, directly comparable round-
+    # over-round and immune to main-session hypervisor-noise windows
+    # (this microVM host shows CPU-steal bursts; see BASELINE.md)
+    best_el10 = None
+    for _attempt in range(2):
+        el10, _n10, _l10 = _assign_pinned(cores, sf_dir, replicate=REPLICATE)
+        best_el10 = el10 if best_el10 is None else min(best_el10, el10)
+    queries["assign_geo"] = round(best_el10, 3)
+
     spark = build_session(cores)
-
-    # headline assign wall at full parallelism, in-session at REPLICATE=10
-    # like every other entry in "queries" (comparable round-over-round;
-    # the pinned ladder above uses the longer LADDER_REPLICATE input)
-    from tzengine.engine import TzEngine as _TzE0
-    from tzengine.zones import synthetic_world as _sw0
-
-    _eng0 = _TzE0.for_everywhere(spark, _sw0(), world_version="synth1")
-    _pts0 = probe_points(spark, sf_dir).repartition(cores).cache()
-    _pts0.count()
-    _out0 = _eng0.assign_timezones(_pts0, mode="strict")
-    _out0.groupBy("tzid").count().collect()
-    queries["assign_geo"] = round(
-        min(timed(lambda: _out0.groupBy("tzid").count().collect())[0]
-            for _ in range(3)),
-        3,
-    )
-    _pts0.unpersist()
 
     # --- exact zone-match rate vs the reference-semantics oracle ----------
     from tzengine.engine import TzEngine as _TzE
