@@ -202,6 +202,24 @@ class TzEngine:
                 ],
             )
 
+        # input-side duplicate-ordinal check, same contract as
+        # compile_index: checking the OUTPUT (ordinal, comp) keys alone
+        # would miss a duplicate whose twin was dropped by the clip (one
+        # cheap aggregate over the compile-input-sized zones table)
+        dup = (
+            zones_df.groupBy("ordinal")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"duplicate zone-piece ordinal {dup[0]['ordinal']}: "
+                "ordinals must be globally unique for a deterministic "
+                "area-sort tie-break"
+            )
+
         # compile fan-out sized to the cluster (was a hardcoded 32):
         # defaultParallelism == total executor cores, so every core gets
         # compile work; callers override for very large zone worlds
@@ -217,7 +235,7 @@ class TzEngine:
             .collect()
         )
         keys = {(r.ordinal, r.comp) for r in rows}
-        if len(keys) != len(rows):  # same contract as compile_index
+        if len(keys) != len(rows):
             raise ValueError(
                 "duplicate zone-piece ordinal in distributed compile: "
                 "ordinals must be globally unique for a deterministic "
@@ -560,6 +578,7 @@ class TzEngine:
         # sort key) alongside already-clipped rings; feed them back so the
         # rank order survives the round-trip exactly.
         areas = {r.ordinal: r.area_deg2 for r in rows}
+        kw.pop("compile_partitions", None)  # distributed-path tuning only
         idx = indexmod.compile_index(
             pieces, min_lat, min_lon, max_lat, max_lon,
             world_version=world_version, precomputed_areas=areas, **kw,

@@ -134,7 +134,13 @@ def zones_from_geojsonl(spark: SparkSession, path: str) -> DataFrame:
     from .session import ensure_shipped
 
     ensure_shipped(spark)
-    lines = spark.read.text(path).filter("length(trim(value)) > 0")
+    # distinct() first: byte-identical duplicate feature lines (file
+    # concatenation artifacts) describe the same piece, and the content-
+    # hash ordinal would make them collide in compile_index's duplicate-
+    # ordinal fail-fast — dropping them here is lossless. Distinct
+    # features that collide (~2^-30 per pair) still fail fast there.
+    # Order-independence is free: ordinals are content-derived.
+    lines = spark.read.text(path).filter("length(trim(value)) > 0").distinct()
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -476,8 +476,13 @@ def assemble_index(
     )
 
 
-DENSE_LEVEL_CAP = 1 << 22  # max table entries per level (16 MiB int32)
-DENSE_TOTAL_CAP = 1 << 23  # max table entries across all levels
+# Dense tables trade one gather for a binary search, but a sparse level
+# (few cells over a wide footprint) buys that with a table far larger
+# than the uniq array it replaces — pure broadcast/cache waste (the
+# 454-zone world's res-11 level: 751 cells, 3.2 MiB table). Caps sized
+# so a table stays within the same order as the arrays it replaces:
+DENSE_LEVEL_CAP = 1 << 17  # max table entries per level (512 KiB int32)
+DENSE_TOTAL_CAP = 1 << 19  # max table entries across all levels (2 MiB)
 
 
 def build_level_dense(

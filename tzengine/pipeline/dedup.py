@@ -97,6 +97,15 @@ def ngram_jaccard_pairs(
         word_shingles(df.select(id_col, text_col), text_col, n)
         .select(id_col, F.explode(F.array_distinct("shingles")).alias("shingle"))
     )
+    # ONE persist, on the PRE-cap explode: it is the expensive corpus
+    # scan and every downstream consumer (hot-shingle aggregate, anti-
+    # join left side, sizes, both self-join sides) reaches it through
+    # the plan, so the cache fills once and the cheap broadcast anti-
+    # join recomputes from cache. Round 2 persisted a SECOND time after
+    # the cap, orphaning this one (ADVICE r2 #5); persisting only after
+    # the cap instead would run the corpus-wide explode twice (hot
+    # aggregate + cache fill). Lifecycle: see the module docstring.
+    sh = sh.persist()
     if max_doc_freq is not None:
         # hot shingles are FEW by definition (df > cap) — broadcast anti-join
         hot = (
@@ -106,13 +115,6 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    # ONE persist, after the optional hot-shingle cap (persisting before
-    # it left an orphaned cached plan pinning storage memory for the
-    # session, ADVICE r2 #5): the capped explode feeds three consumers
-    # (sizes + both sides of the inverted-index self-join); without a
-    # persist Spark recomputes the explode per consumer — at 100 TB
-    # that's 3x the scan. Lifecycle: see the module docstring.
-    sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

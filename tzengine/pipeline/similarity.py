@@ -206,7 +206,7 @@ def ivf_search_table(
     qrows = queries.select(query_id_col, vec_col).collect()
     qmat = np.vstack([np.asarray(r[1], dtype=np.float64) for r in qrows])
     qmat = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
-    probes = np.argsort(-(qmat @ cnorm.T), axis=1)[:, :nprobe]
+    probes = np.argsort(-(qmat @ cnorm.T), axis=1, kind="stable")[:, :nprobe]
     probe_set = sorted({int(c) for row in probes for c in row})
 
     corpus = spark.read.parquet(path).filter(
@@ -251,7 +251,11 @@ def ivf_topk(
         mat = np.vstack(vecs.to_numpy())
         mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         sims = mat @ cnorm.T
-        order = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
+        # stable: exact similarity ties resolve to the LOWER centroid id,
+        # matching the (sim DESC, cid ASC) order of the DuckDB oracle
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe].astype(
+            np.int32
+        )
         return pd.Series(list(order))
 
     q = queries.select(

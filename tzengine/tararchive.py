@@ -109,9 +109,12 @@ class _ChainedReader:
         return self._rest.read(n)
 
 
-def _open_archive(source):
+def _open_archive(source) -> tuple[tarfile.TarFile, list]:
     """Open a reference archive as a tarfile, transparently handling the
-    zstd-compressed variant (see ZSTD_NO_CODEC_MSG)."""
+    zstd-compressed variant (see ZSTD_NO_CODEC_MSG). Returns (tarfile,
+    extra streams to close after it) — tarfile never closes a caller-
+    provided fileobj, so the zstd reader / raw file handle would leak
+    otherwise."""
     if isinstance(source, (str, bytes)):
         with open(source, "rb") as probe_f:
             head = probe_f.read(4)
@@ -119,21 +122,22 @@ def _open_archive(source):
             factory = _zstd_reader_factory()
             if factory is None:
                 raise RuntimeError(ZSTD_NO_CODEC_MSG)
-            return tarfile.open(
-                fileobj=factory(open(source, "rb")), mode="r|"
-            )
-        return tarfile.open(source, "r")
+            raw = open(source, "rb")
+            try:
+                z = factory(raw)
+                return tarfile.open(fileobj=z, mode="r|"), [z, raw]
+            except Exception:
+                raw.close()
+                raise
+        return tarfile.open(source, "r"), []
     head = source.read(4)
     if head == ZSTD_MAGIC:
         factory = _zstd_reader_factory()
         if factory is None:
             raise RuntimeError(ZSTD_NO_CODEC_MSG)
-        return tarfile.open(
-            fileobj=factory(_ChainedReader(head, source)), mode="r|"
-        )
-    return tarfile.open(
-        fileobj=_ChainedReader(head, source), mode="r|*"
-    )
+        z = factory(_ChainedReader(head, source))
+        return tarfile.open(fileobj=z, mode="r|"), [z]
+    return tarfile.open(fileobj=_ChainedReader(head, source), mode="r|*"), []
 
 
 # --------------------------------------------------------------------------
@@ -383,23 +387,26 @@ def read_tar_archive(
     (TimeZoneMap.kt:254-259). ``source`` is a path or a binary stream
     (the reference API takes an InputStream)."""
     try:
-        tf = _open_archive(source)
+        tf, extra_streams = _open_archive(source)
     except RuntimeError:
         raise  # the specific zstd-no-codec message
-    except (OSError, tarfile.TarError) as ex:
+    except Exception as ex:
+        # OSError/TarError, and codec-specific errors (e.g. a corrupt
+        # zstd frame raising zstandard.ZstdError on the transparent
+        # path) all map to the reference I2 contract
         raise RuntimeError(IO_ERROR_MSG) from ex
 
     map_version: str | None = None
     pieces: list[ZonePiece] = []
     ordinal = 0
-    with tf:
+    try:
         it = iter(tf)
         while True:
             try:
                 entry = next(it)
             except StopIteration:
                 break
-            except (OSError, tarfile.TarError) as ex:
+            except Exception as ex:  # incl. codec errors mid-stream
                 raise RuntimeError(IO_ERROR_MSG) from ex
             if map_version is None:
                 split = entry.name.split(" ")
@@ -436,6 +443,14 @@ def read_tar_archive(
                     continue
                 pieces.append(ZonePiece(tzid, poly_id, ordinal, rings))
                 ordinal += 1
+    finally:
+        # tarfile never closes caller-provided fileobjs: close the tar,
+        # then the zstd reader / raw file handle behind it (fd-leak fix)
+        for s in [tf, *extra_streams]:
+            try:
+                s.close()
+            except Exception:
+                pass
     if map_version is None:
         # empty archive: no marker at all
         raise ValueError(INCOMPATIBLE_MSG.format(found="<missing>"))
