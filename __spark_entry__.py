@@ -412,9 +412,14 @@ def q_fingerprint(spark, sf_dir):
 
 
 def q_assign_bigworld(spark, sf_dir):
-    """Reference-scale world (454 zones / 42k vertices): the same assign
-    operator over a 4MB broadcast index. Rows-only (exactness at this
-    scale is pinned by the pytest oracle sweep in test_bigworld.py)."""
+    """Reference-scale world (~175 star pieces / 11k vertices at the
+    driver-checked grid): the same assign operator over a multi-MB
+    broadcast index. Value-oracled: the DuckDB oracle ray-casts every
+    point against an edge VALUES table (same even-odd arithmetic as
+    geom.points_in_rings_evenodd) and takes the min-rank match, so the
+    mixed-resolution cell index is verified by value at reference scale,
+    not just row-counted (the pytest sweep in test_bigworld.py
+    additionally pins the full 454-piece world)."""
     from tzengine.bigworld import big_world
 
     key = ("big", id(spark))
@@ -428,7 +433,9 @@ def q_assign_bigworld(spark, sf_dir):
         (F.col("lon") * 12.0 - 60.0).alias("lon"),
     )
     out = _ENGINES[key].assign_timezones(pts, mode="strict")
-    return out.select("event_id", "tzid", F.size("tzids").alias("n_zones"))
+    return out.select(
+        "event_id", "tzid", F.size("tzids").alias("n_zones")
+    ).orderBy("event_id")
 
 
 def q_image_features(spark, sf_dir):
@@ -788,6 +795,56 @@ def _tiling_oracle_sql(res: int = 7) -> str:
     """
 
 
+def _bigworld_oracle_sql() -> str:
+    """Reference-scale assign oracle: every (point, piece) containment
+    decided by an even-odd ray cast over an edge VALUES table — the
+    SAME IEEE arithmetic as geom.points_in_rings_evenodd (straddle test
+    + x_at = ax + (py-ay)*(bx-ax)/(by-ay), strict <). Pieces carry their
+    (pre-clip area, ordinal) rank so first-match = min rank. Strict
+    even-odd (no on-edge clause) equals the engine's boundary-INCLUSIVE
+    semantics for every probe point not exactly on an edge — the
+    rational probe grid never lands on the star polygons' cos/sin
+    vertices' edges."""
+    from tzengine import geom
+    from tzengine.bigworld import big_world
+
+    pieces = sorted(
+        big_world(grid=13, verts=64), key=lambda p: (p.area2d, p.ordinal)
+    )
+    edge_rows = []
+    name_rows = []
+    for rk, p in enumerate(pieces):
+        sa, sb = geom._segments(p.rings)
+        for (ax, ay), (bx, by) in zip(sa, sb):
+            edge_rows.append(
+                f"({rk},{float(ax)!r},{float(ay)!r},"
+                f"{float(bx)!r},{float(by)!r})"
+            )
+        name_rows.append(f"({rk},'{p.zone_id}')")
+    return f"""
+        WITH pts AS (
+          SELECT event_id,
+                 ((event_id % 1987) / 200.0) * 12.0 - 60.0 AS lat,
+                 ((event_id * 7 % 1993) / 200.0) * 12.0 - 60.0 AS lon
+          FROM events),
+        edges(rk, ax, ay, bx, by) AS (VALUES {', '.join(edge_rows)}),
+        zmap(rk, zname) AS (VALUES {', '.join(name_rows)}),
+        hits AS (
+          SELECT p.event_id, e.rk
+          FROM pts p JOIN edges e
+            ON ((e.ay > p.lat) != (e.by > p.lat))
+           AND p.lon < e.ax + (p.lat - e.ay) * (e.bx - e.ax) / (e.by - e.ay)
+          GROUP BY p.event_id, e.rk
+          HAVING count(*) % 2 = 1),
+        best AS (
+          SELECT event_id, min(rk) AS rk, count(*) AS n_zones
+          FROM hits GROUP BY event_id)
+        SELECT b.event_id, z.zname AS tzid, CAST(b.n_zones AS INT) AS n_zones
+        FROM best b JOIN zmap z ON z.rk = b.rk
+        ORDER BY b.event_id
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # geo core (SQL-oracled via rect world)
@@ -1126,6 +1183,7 @@ def oracle_sql() -> dict[str, str]:
         "tar_archive_roundtrip": _tar_roundtrip_oracle_sql(),
         "ivf_topk": _ivf_topk_oracle_sql(),
         "tiling_roundtrip": _tiling_oracle_sql(),
+        "assign_bigworld": _bigworld_oracle_sql(),
         # quality_score: \w and \s classes agree between Java regex and
         # RE2 for this ASCII corpus; integer/integer division yields
         # double in both engines; the composite score is a sum of 0.25
