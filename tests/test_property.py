@@ -126,3 +126,32 @@ def test_split_clip_conserves_area_and_components_disjoint(seed, xmin, ymin, w, 
         # boundary-epsilon points may differ on the clip edge; interior
         # sample points must agree
         assert (in_sh == in_split).mean() >= 0.99
+
+
+@given(seed=st.integers(0, 10_000), n=st.integers(4, 60))
+@settings(max_examples=120, deadline=None)
+def test_prescreen_never_false_negative(seed, n):
+    """_any_ring_crossing is an exact prescreen: whenever the full
+    O(n^2) search finds a crossing, the prescreen must say True (a
+    false negative would make split_self_intersections silently skip
+    the repair). False positives are allowed (degenerate-span bail)."""
+    rng = np.random.default_rng(seed)
+    ring = rng.uniform(-5, 5, size=(n, 2))
+    full = geom._seg_intersections(ring)
+    if full:
+        assert geom._any_ring_crossing(ring)
+
+
+@given(seed=st.integers(0, 10_000))
+@settings(max_examples=60, deadline=None)
+def test_split_loops_are_simple_random_rings(seed):
+    """Every loop split_self_intersections emits is simple (no
+    crossings, no repeated coordinates) — including vertex-pinch input
+    (the walk pops on any revisited coordinate)."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(4, 24))
+    ring = np.round(rng.uniform(-4, 4, size=(n, 2)), 2)
+    for loop in geom.split_self_intersections(ring):
+        assert len(loop) >= 3
+        assert not geom._any_ring_crossing(loop)
+        assert len({tuple(v) for v in loop}) == len(loop)
