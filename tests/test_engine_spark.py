@@ -220,3 +220,32 @@ def test_planar_distance_metric(spark, world):
         for la, lo in [(4.0, 4.5), (5.0, 4.5), (4.5, 4.0), (4.5, 5.0)]
     ]
     assert any(meters[4.5] == pytest.approx(c, rel=1e-9) for c in cands)
+
+
+def test_cell_of_expr_matches_numpy_cell_of(spark):
+    # the JVM-side Morton encode (engine.cell_of_expr) must be value-
+    # identical to cells.cell_of — same double quantization (CAST
+    # truncates toward zero like astype(int64)), same interleave —
+    # including the closed upper edges and both hemispheres
+    import numpy as np
+    from tzengine import cells
+    from tzengine.engine import cell_of_expr
+    from pyspark.sql import functions as F
+
+    lats = np.array([-90.0, -89.999, -45.5, -1e-9, 0.0, 0.703125, 37.77,
+                     59.2, 89.999, 90.0])
+    lons = np.array([-180.0, -179.9, -122.42, -1e-9, 0.0, 1.40625, 13.4,
+                     121.47, 179.9, 180.0])
+    rows = [(float(la), float(lo)) for la in lats for lo in lons]
+    df = spark.createDataFrame(rows, "lat double, lon double")
+    for res in (0, 1, 7, 13):
+        got = [
+            r.c
+            for r in df.select(
+                cell_of_expr("lat", "lon", res).alias("c")
+            ).collect()
+        ]
+        la = np.array([r[0] for r in rows])
+        lo = np.array([r[1] for r in rows])
+        exp = cells.cell_of(lo, la, res).astype(np.int64).tolist()
+        assert got == exp, res
