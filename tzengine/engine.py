@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from . import cells as cellmod
+
 from . import index as indexmod
 from . import probe as probemod
 from .zones import ZonePiece, pieces_to_df, rows_to_pieces
