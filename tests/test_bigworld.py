@@ -228,3 +228,19 @@ def test_distributed_parity_keeps_zero_area_passthrough_piece(spark):
                             distributed=True)
     assert a.idx.zone_ids == b.idx.zone_ids
     assert a.idx.n_pieces == b.idx.n_pieces
+
+
+def test_dense_level_tables_bounded(idx):
+    """Round-3 review fix: dense lookup tables must never dwarf the
+    arrays they replace — sparse levels (few cells, wide footprint)
+    fall back to binary search instead of burning broadcast bytes."""
+    total = 0
+    for res, (tbl, ix0, iy0, w, h) in idx.level_dense.items():
+        assert tbl.size == w * h
+        assert tbl.size <= index.DENSE_LEVEL_CAP, res
+        total += tbl.size
+    assert total <= index.DENSE_TOTAL_CAP
+    # the hottest level (most entries) is dense; the sparse high-res
+    # levels of this world are not
+    by_entries = max(idx.levels, key=lambda r: len(idx.levels[r][2]))
+    assert by_entries in idx.level_dense
