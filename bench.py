@@ -45,8 +45,11 @@ def build_session(cores: int) -> SparkSession:
         extra_conf={
             "spark.driver.memory": "48g",
             # 128k-row Arrow batches + one partition per core measured
-            # best on the probe path (see BASELINE.md scaling study)
-            "spark.sql.execution.arrow.maxRecordsPerBatch": "131072",
+            # best on the probe path (see BASELINE.md scaling study);
+            # SPARK_GRAFT_ARROW_BATCH overrides for batch-size sweeps
+            "spark.sql.execution.arrow.maxRecordsPerBatch": os.environ.get(
+                "SPARK_GRAFT_ARROW_BATCH", "131072"
+            ),
         },
     )
 
