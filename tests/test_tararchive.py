@@ -219,3 +219,22 @@ def test_zstd_magic_detected_with_specific_message(tmp_path):
         tararchive.read_tar_archive(path)
     with pytest.raises(RuntimeError, match="decompress externally"):
         tararchive.read_tar_archive(io.BytesIO(blob))
+
+
+def test_zstd_write_requested_without_codec(tmp_path):
+    """Write-side symmetry for the reference's .tar.zstd variant: a
+    zstd-suffixed path (or compress='zstd') fails fast with a specific
+    message when no codec imports; compress=False writes plain tar
+    regardless of suffix and round-trips."""
+    if tararchive._zstd_writer_factory() is not None:
+        pytest.skip("zstd codec available: transparent path applies")
+    zpath = str(tmp_path / "w.tar.zstd")
+    with pytest.raises(RuntimeError, match="zstd-compressed archive"):
+        tararchive.write_tar_archive(synthetic_world(), zpath, "1:w")
+    with pytest.raises(RuntimeError, match="compress externally"):
+        tararchive.write_tar_archive(
+            synthetic_world(), str(tmp_path / "x.tar"), "1:w", compress="zstd"
+        )
+    tararchive.write_tar_archive(synthetic_world(), zpath, "1:w", compress=False)
+    version, pieces = tararchive.read_tar_archive(zpath)
+    assert version == "1:w" and len(pieces) == len(synthetic_world())

@@ -350,25 +350,74 @@ def deserialize_envelope(s: str) -> tuple[float, float, float, float]:
 # --------------------------------------------------------------------------
 
 
+def _zstd_writer_factory():
+    """A callable wrapping a binary stream in a zstd compressor (level
+    matching the reference's intent; it ships level 22, Main.kt:152-157),
+    or None when no codec is importable."""
+    try:
+        import zstandard as _zstd  # type: ignore
+
+        return lambda f: _zstd.ZstdCompressor(level=19).stream_writer(f)
+    except ImportError:
+        pass
+    try:
+        from compression import zstd as _czstd  # type: ignore  # py3.14+
+
+        return lambda f: _czstd.ZstdFile(f, "wb")
+    except ImportError:
+        return None
+
+
+def _write_entries(tf: tarfile.TarFile, pieces, map_version: str) -> None:
+    marker = tarfile.TarInfo(name=f"Version: {map_version}")
+    marker.size = 0
+    tf.addfile(marker)
+    for p in pieces:
+        lo_lon, lo_lat, hi_lon, hi_lat = p.bbox
+        name = f"{p.zone_id}/{serialize_envelope(lo_lat, lo_lon, hi_lat, hi_lon)}"
+        payload = encode_timezone(p.zone_id, [p.rings])
+        ti = tarfile.TarInfo(name=name)
+        ti.size = len(payload)
+        tf.addfile(ti, io.BytesIO(payload))
+
+
 def write_tar_archive(
-    pieces: list[ZonePiece], path: str, map_version: str
+    pieces: list[ZonePiece], path: str, map_version: str,
+    compress: str | bool | None = None,
 ) -> None:
     """Builder B7+B9 analogue over the REAL reference layout: version
     marker first, then one entry per zone piece, name = tzid/envelope,
     content = FlatBuffers. ``map_version`` is the "<fmt>:<world>" string
     (the marker entry is named "Version: <map_version>" with size 0,
-    Main.kt:115,141)."""
-    with tarfile.open(path, "w") as tf:
-        marker = tarfile.TarInfo(name=f"Version: {map_version}")
-        marker.size = 0
-        tf.addfile(marker)
-        for p in pieces:
-            lo_lon, lo_lat, hi_lon, hi_lat = p.bbox
-            name = f"{p.zone_id}/{serialize_envelope(lo_lat, lo_lon, hi_lat, hi_lon)}"
-            payload = encode_timezone(p.zone_id, [p.rings])
-            ti = tarfile.TarInfo(name=name)
-            ti.size = len(payload)
-            tf.addfile(ti, io.BytesIO(payload))
+    Main.kt:115,141).
+
+    ``compress``: None = auto (a ``.zst``/``.zstd`` suffix selects the
+    reference's zstd-compressed variant, Main.kt:152-157); ``"zstd"`` =
+    force; False = plain tar regardless of suffix. The zstd path needs
+    an importable codec (zstandard, or stdlib compression.zstd on
+    Python >= 3.14) and fails fast with a specific message otherwise —
+    mirroring the read side."""
+    want_zstd = compress == "zstd" or (
+        compress is None and str(path).endswith((".zst", ".zstd"))
+    )
+    if not want_zstd:
+        with tarfile.open(path, "w") as tf:
+            _write_entries(tf, pieces, map_version)
+        return
+    factory = _zstd_writer_factory()
+    if factory is None:
+        raise RuntimeError(
+            "zstd-compressed archive requested (.zst/.zstd) but no zstd "
+            "codec is importable in this environment; write a plain tar "
+            "and compress externally (e.g. `zstd <archive>`)"
+        )
+    with open(path, "wb") as raw:
+        z = factory(raw)
+        try:
+            with tarfile.open(fileobj=z, mode="w|") as tf:
+                _write_entries(tf, pieces, map_version)
+        finally:
+            z.close()
 
 
 def read_tar_archive(
