@@ -870,8 +870,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "tar_archive_roundtrip": q_tar_archive_roundtrip,
         "tiling_roundtrip": q_tiling_roundtrip,
-        # rows-only (hash-seeded / geodesic / binary-payload)
         "assign_full_world": q_assign_full_world,
+        "assign_bigworld": q_assign_bigworld,
+        # rows-only (hash-seeded / geodesic / binary-payload)
         "distance_boundary": q_distance_boundary,
         "knn_zones": q_knn_zones,
         "minhash_lsh": q_minhash_lsh,
@@ -879,7 +880,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "fingerprint": q_fingerprint,
         "phash_neardup": q_phash_neardup,
-        "assign_bigworld": q_assign_bigworld,
         "image_features": q_image_features,
         "audio_features": q_audio_features,
         "video_frame_sample": q_video_frame_sample,

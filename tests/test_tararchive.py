@@ -222,19 +222,31 @@ def test_zstd_magic_detected_with_specific_message(tmp_path):
 
 
 def test_zstd_write_requested_without_codec(tmp_path):
-    """Write-side symmetry for the reference's .tar.zstd variant: a
-    zstd-suffixed path (or compress='zstd') fails fast with a specific
-    message when no codec imports; compress=False writes plain tar
-    regardless of suffix and round-trips."""
-    if tararchive._zstd_writer_factory() is not None:
-        pytest.skip("zstd codec available: transparent path applies")
+    """Write-side symmetry for the reference's .tar.zstd variant: with no
+    codec importable, a zstd-suffixed path (or compress='zstd') fails
+    fast with a specific message; with a codec, the compressed write ->
+    transparent read round-trip must hold. compress=False writes plain
+    tar regardless of suffix; unrecognized compress values are rejected
+    (compress=True would otherwise silently write UNcompressed)."""
     zpath = str(tmp_path / "w.tar.zstd")
-    with pytest.raises(RuntimeError, match="zstd-compressed archive"):
-        tararchive.write_tar_archive(synthetic_world(), zpath, "1:w")
-    with pytest.raises(RuntimeError, match="compress externally"):
+    with pytest.raises(ValueError, match="unsupported compress value"):
         tararchive.write_tar_archive(
-            synthetic_world(), str(tmp_path / "x.tar"), "1:w", compress="zstd"
+            synthetic_world(), zpath, "1:w", compress=True
         )
+    if tararchive._zstd_writer_factory() is not None:
+        tararchive.write_tar_archive(synthetic_world(), zpath, "1:w")
+        with open(zpath, "rb") as f:
+            assert f.read(4) == tararchive.ZSTD_MAGIC
+        version, pieces = tararchive.read_tar_archive(zpath)
+        assert version == "1:w" and len(pieces) == len(synthetic_world())
+    else:
+        with pytest.raises(RuntimeError, match="zstd-compressed archive"):
+            tararchive.write_tar_archive(synthetic_world(), zpath, "1:w")
+        with pytest.raises(RuntimeError, match="compress externally"):
+            tararchive.write_tar_archive(
+                synthetic_world(), str(tmp_path / "x.tar"), "1:w",
+                compress="zstd",
+            )
     tararchive.write_tar_archive(synthetic_world(), zpath, "1:w", compress=False)
     version, pieces = tararchive.read_tar_archive(zpath)
     assert version == "1:w" and len(pieces) == len(synthetic_world())

@@ -36,6 +36,10 @@ def cell_of_expr(lat_col, lon_col, res: int):
     drops one encode from the Python kernel; value parity with the
     numpy path is asserted in tests and by the hot_cells DuckDB oracle
     (which mirrors the identical arithmetic)."""
+    from . import cells
+
+    if not 0 <= res <= cells.MAX_RES:  # same contract as cells.cell_of
+        raise ValueError(f"resolution must be in [0, {cells.MAX_RES}]")
     n = 1 << res
     ix = F.least(
         F.greatest(

@@ -357,7 +357,8 @@ def _zstd_writer_factory():
     try:
         import zstandard as _zstd  # type: ignore
 
-        return lambda f: _zstd.ZstdCompressor(level=19).stream_writer(f)
+        # level 22 = the reference builder's setting (Main.kt:152-157)
+        return lambda f: _zstd.ZstdCompressor(level=22).stream_writer(f)
     except ImportError:
         pass
     try:
@@ -397,6 +398,11 @@ def write_tar_archive(
     an importable codec (zstandard, or stdlib compression.zstd on
     Python >= 3.14) and fails fast with a specific message otherwise —
     mirroring the read side."""
+    if compress not in (None, False, "zstd"):
+        raise ValueError(
+            f"unsupported compress value {compress!r}: use None (auto by "
+            "suffix), False (plain tar), or 'zstd'"
+        )
     want_zstd = compress == "zstd" or (
         compress is None and str(path).endswith((".zst", ".zstd"))
     )
