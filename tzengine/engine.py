@@ -302,33 +302,43 @@ class TzEngine:
 
     def zones(self) -> DataFrame:
         """The clipped, area-rank-ordered zone pieces as a DataFrame
-        (reference `timeZones` accessor, TimeZoneMap.kt:34)."""
+        (reference `timeZones` accessor, TimeZoneMap.kt:34).
+
+        Arrow-native: the index's CSR arrays (verts + ring/vert offsets)
+        map 1:1 onto Arrow nested lists, so the table is built with zero
+        per-vertex Python — this is the `save_artifact` write path and
+        must stay O(array bytes) at 100x zone worlds, not O(vertices)
+        Python-object churn."""
+        import pyarrow as pa
+
         idx = self.idx
-        rows = []
-        for rank in range(idx.n_pieces):
-            rings = [
-                [(float(v[1]), float(v[0])) for v in r] for r in idx.piece_rings(rank)
-            ]
-            lo = [min(v[0] for r in rings for v in r), min(v[1] for r in rings for v in r)]
-            hi = [max(v[0] for r in rings for v in r), max(v[1] for r in rings for v in r)]
-            rows.append(
-                (
-                    rank,
-                    idx.zone_ids[rank],
-                    int(idx.polygon_ids[rank]),
-                    float(idx.areas[rank]),
-                    rings,
-                    lo[0], lo[1], hi[0], hi[1],
-                )
-            )
-        return self.spark.createDataFrame(
-            rows,
-            schema=(
-                "area_rank int, zone_id string, polygon_id int, area_deg2 double, "
-                "rings array<array<struct<lat: double, lon: double>>>, "
-                "min_lat double, min_lon double, max_lat double, max_lon double"
-            ),
+        verts = np.asarray(idx.verts, dtype=np.float64)
+        struct_arr = pa.StructArray.from_arrays(
+            [pa.array(verts[:, 1]), pa.array(verts[:, 0])], ["lat", "lon"]
         )
+        ring_list = pa.ListArray.from_arrays(
+            pa.array(idx.vert_offsets.astype(np.int32)), struct_arr
+        )
+        rings_col = pa.ListArray.from_arrays(
+            pa.array(idx.ring_offsets.astype(np.int32)), ring_list
+        )
+        bb = idx.piece_bbox  # (lo_lon, lo_lat, hi_lon, hi_lat) per piece
+        table = pa.table(
+            {
+                "area_rank": pa.array(
+                    np.arange(idx.n_pieces, dtype=np.int32)
+                ),
+                "zone_id": pa.array(idx.zone_ids, pa.string()),
+                "polygon_id": pa.array(idx.polygon_ids.astype(np.int32)),
+                "area_deg2": pa.array(idx.areas.astype(np.float64)),
+                "rings": rings_col,
+                "min_lat": pa.array(bb[:, 1].astype(np.float64)),
+                "min_lon": pa.array(bb[:, 0].astype(np.float64)),
+                "max_lat": pa.array(bb[:, 3].astype(np.float64)),
+                "max_lon": pa.array(bb[:, 2].astype(np.float64)),
+            }
+        )
+        return self.spark.createDataFrame(table)
 
     # -- query ops ------------------------------------------------------------
 
