@@ -795,6 +795,98 @@ def _tiling_oracle_sql(res: int = 7) -> str:
     """
 
 
+SCOPED_REGION = (0.5, 0.5, 8.7, 9.5)  # (min_lat, min_lon, max_lat, max_lon)
+
+
+def q_assign_region_scoped(spark, sf_dir):
+    """Region-scoped engine (I12 clip + split at driver-check level):
+    zones are CLIPPED to an init region whose bounds cut Zone/Host and
+    Zone/Filler (8.7 is not even f32-representable, so the clipped index
+    exercises the f64-segment fallback too). Value-oracled: clipped
+    axis-aligned rings are exactly the clamped rectangles (Sutherland-
+    Hodgman intersection of an axis-aligned edge with a clip line is
+    exact), so containment is BETWEEN over region-clamped bounds and the
+    rank order is the PRE-clip area sort the engine preserves."""
+    min_lat, min_lon, max_lat, max_lon = SCOPED_REGION
+    key = ("scoped", id(spark))
+    if key not in _ENGINES:
+        _ENGINES[key] = TzEngine.for_region(
+            spark, synthetic_world(), min_lat, min_lon, max_lat, max_lon,
+            world_version="synth1",
+        )
+    pts = _events_points(spark, sf_dir).filter(
+        F.col("lat").between(min_lat, max_lat)
+        & F.col("lon").between(min_lon, max_lon)
+    )
+    out = _ENGINES[key].assign_timezones(pts, mode="strict")
+    return out.select(
+        "event_id", "tzid", F.concat_ws("|", "tzids").alias("tzids_str"),
+        F.size("tzids").alias("n_zones"),
+    ).orderBy("event_id")
+
+
+def _region_scoped_oracle_sql() -> str:
+    """Scoped-assign oracle: the full-world containment SQL with every
+    ring bbox CLAMPED to the init region (python max/min on the exact
+    doubles — no arithmetic, so constants match the engine's clipped
+    vertices bit-for-bit), pieces dropped when their clamp is empty,
+    rank order = (pre-clip area, ordinal) like compile_index."""
+    from tzengine import geom
+    from tzengine.zones import synthetic_world as _sw
+
+    min_lat, min_lon, max_lat, max_lon = SCOPED_REGION
+    pieces = sorted(_sw(), key=lambda p: (p.area2d, p.ordinal))
+    zp = []
+    for p in pieces:
+        on_bnd, strict = [], []
+        for r in p.rings:
+            lo_lon, lo_lat, hi_lon, hi_lat = geom.rings_bbox([r])
+            lo_lon, lo_lat = max(lo_lon, min_lon), max(lo_lat, min_lat)
+            hi_lon, hi_lat = min(hi_lon, max_lon), min(hi_lat, max_lat)
+            if hi_lon < lo_lon or hi_lat < lo_lat:
+                continue  # ring clipped away entirely
+            between = (
+                f"(lon >= {lo_lon!r} AND lon <= {hi_lon!r} "
+                f"AND lat >= {lo_lat!r} AND lat <= {hi_lat!r})"
+            )
+            st = (
+                f"(lon > {lo_lon!r} AND lon < {hi_lon!r} "
+                f"AND lat > {lo_lat!r} AND lat < {hi_lat!r})"
+            )
+            on_bnd.append(f"({between} AND NOT {st})")
+            strict.append(f"CAST({st} AS INT)")
+        if not on_bnd:
+            continue
+        pred = (
+            "(" + " OR ".join(on_bnd)
+            + f" OR ((({' + '.join(strict)}) % 2) = 1))"
+        )
+        zp.append((p.zone_id, pred))
+    first = (
+        "CASE "
+        + " ".join(f"WHEN {pred} THEN '{name}'" for name, pred in zp)
+        + " END"
+    )
+    all_str = (
+        "concat_ws('|', "
+        + ", ".join(f"CASE WHEN {pred} THEN '{name}' END" for name, pred in zp)
+        + ")"
+    )
+    n = " + ".join(f"CAST({pred} AS INT)" for _, pred in zp)
+    return f"""
+        WITH pts AS (SELECT event_id,
+                            (event_id % 1987) / 200.0 AS lat,
+                            (event_id * 7 % 1993) / 200.0 AS lon
+                     FROM events),
+        rp AS (SELECT * FROM pts
+               WHERE lat BETWEEN {min_lat!r} AND {max_lat!r}
+                 AND lon BETWEEN {min_lon!r} AND {max_lon!r})
+        SELECT event_id, {first} AS tzid, {all_str} AS tzids_str,
+               {n} AS n_zones
+        FROM rp ORDER BY event_id
+    """
+
+
 def _bigworld_oracle_sql() -> str:
     """Reference-scale assign oracle: every (point, piece) containment
     decided by an even-odd ray cast over an edge VALUES table — the
@@ -872,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiling_roundtrip": q_tiling_roundtrip,
         "assign_full_world": q_assign_full_world,
         "assign_bigworld": q_assign_bigworld,
+        "assign_region_scoped": q_assign_region_scoped,
         # rows-only (hash-seeded / geodesic / binary-payload)
         "distance_boundary": q_distance_boundary,
         "knn_zones": q_knn_zones,
@@ -1184,6 +1277,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _ivf_topk_oracle_sql(),
         "tiling_roundtrip": _tiling_oracle_sql(),
         "assign_bigworld": _bigworld_oracle_sql(),
+        "assign_region_scoped": _region_scoped_oracle_sql(),
         # quality_score: \w and \s classes agree between Java regex and
         # RE2 for this ASCII corpus; integer/integer division yields
         # double in both engines; the composite score is a sum of 0.25
