@@ -105,6 +105,18 @@ def q_pip_assign_first_and_all(spark, sf_dir):
     )
 
 
+def q_pip_assign_first_only(spark, sf_dir):
+    """Q1-only fast path (reference getOverlappingTimeZone via
+    include_all=False): the rank LIST is neither built nor serialized
+    across the Arrow boundary — a strictly narrower plan whose tzid must
+    still match the full-path oracle exactly."""
+    pts = _events_points(spark, sf_dir)
+    out = _rect_engine(spark).assign_timezones(
+        pts, mode="strict", include_all=False
+    )
+    return out.select("event_id", "tzid").orderBy("event_id")
+
+
 def q_bbox_agg(spark, sf_dir):
     """SURVEY B6/I9: bounding-box min/max aggregate."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -942,6 +954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # geo core (SQL-oracled via rect world)
         "pip_assign_rect": q_pip_assign_rect,
         "pip_assign_first_and_all": q_pip_assign_first_and_all,
+        "pip_assign_first_only": q_pip_assign_first_only,
         # relational operator families (SURVEY §2)
         "bbox_agg": q_bbox_agg,
         "envelope_prune": q_envelope_prune,
@@ -1071,6 +1084,14 @@ def oracle_sql() -> dict[str, str]:
                          (event_id * 7 % 1993) / 200.0 AS lon
                   FROM events)
             ORDER BY event_id
+        """,
+        "pip_assign_first_only": f"""
+            WITH pts AS (SELECT event_id,
+                                (event_id % 1987) / 200.0 AS lat,
+                                (event_id * 7 % 1993) / 200.0 AS lon
+                         FROM events)
+            SELECT event_id, {rect_case} AS tzid
+            FROM pts ORDER BY event_id
         """,
         "pip_assign_first_and_all": f"""
             WITH pts AS (SELECT event_id,
