@@ -264,3 +264,41 @@ def test_scoped_world_entry_count_matches_oracle():
         idx = index.compile_index(WORLD, *region, world_version="synth1")
         oracle = OracleMap(WORLD, *region)
         assert idx.zone_ids == [z for z, _ in oracle.entries], region
+
+
+def test_searchsorted_fallback_level_correctness():
+    """Levels whose dense-grid footprint exceeds the cap (antipodal tiny
+    zones -> world-wide footprint at the boundary resolution) take the
+    searchsorted + range-prefilter path; containment must be identical
+    to the oracle there, for hits, misses, and boundary points."""
+    import numpy as np
+    from tzengine import index as indexmod, probe
+    from tzengine.oracle import OracleMap
+    from tzengine.zones import make_piece, _rect
+
+    pieces = [
+        make_piece("Zone/West", 0, 0, [_rect(10.0, -170.5, 10.25, -170.25)]),
+        make_piece("Zone/East", 0, 1, [_rect(10.0, 170.25, 10.25, 170.5)]),
+    ]
+    idx = indexmod.compile_index(pieces, -90, -180, 90, 180, world_version="x")
+    # the test is non-vacuous only if some level fell back to searchsorted
+    assert any(r not in idx.level_dense for r in idx.levels), (
+        sorted(idx.levels), sorted(idx.level_dense))
+
+    oracle = OracleMap(pieces, -90, -180, 90, 180)
+    rng = np.random.default_rng(3)
+    lats = np.concatenate([
+        rng.uniform(9.9, 10.35, 200),            # near both zones' lat band
+        rng.uniform(-80, 80, 200),               # world-wide misses
+        np.array([10.0, 10.25, 10.125]),         # boundary lat values
+    ])
+    lons = np.concatenate([
+        rng.choice([-1, 1], 200) * rng.uniform(170.2, 170.55, 200),
+        rng.uniform(-180, 180, 200),
+        np.array([-170.5, 170.5, 170.375]),      # boundary/interior lons
+    ])
+    offs, ranks, valid = probe.probe_ranks(idx, lats, lons, mode="strict")
+    _, tzids = probe.ranks_to_tzids(idx, offs, ranks, valid)
+    for i in range(len(lats)):
+        exp = oracle.get_overlapping_time_zones(lats[i], lons[i])
+        assert (tzids[i] or []) == exp, (lats[i], lons[i], tzids[i], exp)
