@@ -257,6 +257,36 @@ def q_length_stats(spark, sf_dir):
     return length_stats(d)
 
 
+def q_windowed_zone_counts(spark, sf_dir):
+    """Tumbling-window per-zone counts — the BATCH equivalent of
+    streaming.streaming_cell_counts (same assign + window + agg plan
+    without the watermark), giving the time-window operator family a
+    value oracle. The ts column is TIMESTAMP_NTZ; window starts are
+    compared as DAYS-SINCE-EPOCH via pure DATE arithmetic (bigint), so
+    no timezone conversion exists on either engine's path (NTZ tumbling
+    windows align to naive midnight = the row's own date)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = ev.select(
+        "ts",
+        ((F.col("event_id") % 1987) / 200.0).alias("lat"),
+        ((F.col("event_id") * 7 % 1993) / 200.0).alias("lon"),
+    )
+    out = _engine(spark).assign_timezones(pts, mode="strict")
+    return (
+        out.groupBy(F.window("ts", "1 day").alias("w"), "tzid")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.datediff(
+                F.col("w.start").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).cast("long").alias("epoch_day"),
+            "tzid",
+            "n",
+        )
+        .orderBy("epoch_day", "tzid")
+    )
+
+
 def q_tpch_q1(spark, sf_dir):
     """Generic relational capability: TPC-H Q1-shaped aggregation."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -620,6 +650,30 @@ def q_tiling_roundtrip(spark, sf_dir):
     )
 
 
+def _windowed_zone_counts_oracle_sql() -> str:
+    """Tumbling day-window mirror: NTZ day windows align to naive
+    midnight, so the window start's DATE is the row's own date —
+    days-since-epoch via date_diff, no timezone anywhere; tzid via the
+    full-world containment CASE."""
+    zp = _full_world_contains_sql()
+    first = (
+        "CASE "
+        + " ".join(f"WHEN {pred} THEN '{name}'" for name, pred in zp)
+        + " END"
+    )
+    return f"""
+        WITH pts AS (SELECT ts,
+                            (event_id % 1987) / 200.0 AS lat,
+                            (event_id * 7 % 1993) / 200.0 AS lon
+                     FROM events)
+        SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS epoch_day,
+               {first} AS tzid,
+               count(*) AS n
+        FROM pts GROUP BY 1, 2 ORDER BY epoch_day, tzid
+    """
+
+
 def _tar_roundtrip_oracle_sql() -> str:
     """The tar-reloaded engine must assign exactly like the direct
     engine, so the oracle is the full-world containment SQL (first-match
@@ -963,6 +1017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_count": q_salted_count,
         "explode_tokens": q_explode_tokens,
         "tpch_q1": q_tpch_q1,
+        "windowed_zone_counts": q_windowed_zone_counts,
         # training-data pipeline (SQL-oracled)
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1299,6 +1354,7 @@ def oracle_sql() -> dict[str, str]:
         "tiling_roundtrip": _tiling_oracle_sql(),
         "assign_bigworld": _bigworld_oracle_sql(),
         "assign_region_scoped": _region_scoped_oracle_sql(),
+        "windowed_zone_counts": _windowed_zone_counts_oracle_sql(),
         # quality_score: \w and \s classes agree between Java regex and
         # RE2 for this ASCII corpus; integer/integer division yields
         # double in both engines; the composite score is a sum of 0.25
