@@ -257,6 +257,41 @@ def q_length_stats(spark, sf_dir):
     return length_stats(d)
 
 
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3-shaped 3-way join (customer ⋈ orders ⋈ lineitem) +
+    grouped revenue — the explicit multi-join entry of the relational
+    family (AQE picks broadcast joins for the small sides; see
+    PLANS.md). No LIMIT: the full result set avoids any float-cutoff
+    sensitivity; order dates compare as days-since-epoch (tz-free)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cutoff = "1995-03-15"
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < F.lit(cutoff))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.lit(cutoff))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).cast("long").alias("order_epoch_day"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy("l_orderkey")
+    )
+
+
 def q_windowed_zone_counts(spark, sf_dir):
     """Tumbling-window per-zone counts — the BATCH equivalent of
     streaming.streaming_cell_counts (same assign + window + agg plan
@@ -1017,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_count": q_salted_count,
         "explode_tokens": q_explode_tokens,
         "tpch_q1": q_tpch_q1,
+        "tpch_q3_join": q_tpch_q3,
         "windowed_zone_counts": q_windowed_zone_counts,
         # training-data pipeline (SQL-oracled)
         "dedup_exact": q_dedup_exact,
@@ -1355,6 +1391,22 @@ def oracle_sql() -> dict[str, str]:
         "assign_bigworld": _bigworld_oracle_sql(),
         "assign_region_scoped": _region_scoped_oracle_sql(),
         "windowed_zone_counts": _windowed_zone_counts_oracle_sql(),
+        "tpch_q3_join": """
+            SELECT l_orderkey,
+                   CAST(date_diff('day', DATE '1970-01-01',
+                                  CAST(o_orderdate AS DATE)) AS BIGINT)
+                     AS order_epoch_day,
+                   o_orderpriority,
+                   sum(l_extendedprice * (1 - l_discount)) AS revenue
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey
+              AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+              AND l_orderkey = o_orderkey
+              AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY l_orderkey
+        """,
         # quality_score: \w and \s classes agree between Java regex and
         # RE2 for this ASCII corpus; integer/integer division yields
         # double in both engines; the composite score is a sum of 0.25
