@@ -257,6 +257,25 @@ def q_length_stats(spark, sf_dir):
     return length_stats(d)
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (functions.asof_join — the time-series operator Spark
+    lacks natively, built as union-tag + struct carry-forward with ONE
+    shuffle and no range-join explosion): every event picks up the
+    value of the user's latest purchase at-or-before its timestamp.
+    Value-oracled against DuckDB's native ASOF LEFT JOIN."""
+    from tzengine.functions import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    upd = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("upd_value"))
+    )
+    left = ev.select("event_id", "user_id", "ts")
+    out = asof_join(left, upd, key="user_id", ts="ts")
+    return out.select("event_id", "asof_upd_value").orderBy("event_id")
+
+
 def q_tpch_q3(spark, sf_dir):
     """TPC-H Q3-shaped 3-way join (customer ⋈ orders ⋈ lineitem) +
     grouped revenue — the explicit multi-join entry of the relational
@@ -1054,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3_join": q_tpch_q3,
         "windowed_zone_counts": q_windowed_zone_counts,
+        "asof_join": q_asof_join,
         # training-data pipeline (SQL-oracled)
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1406,6 +1426,17 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
             GROUP BY l_orderkey, o_orderdate, o_orderpriority
             ORDER BY l_orderkey
+        """,
+        "asof_join": """
+            WITH upd AS (
+              SELECT user_id, ts, max(value) AS upd_value
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id, ts),
+            l AS (SELECT event_id, user_id, ts FROM events)
+            SELECT l.event_id, u.upd_value AS asof_upd_value
+            FROM l ASOF LEFT JOIN upd u
+              ON l.user_id = u.user_id AND l.ts >= u.ts
+            ORDER BY l.event_id
         """,
         # quality_score: \w and \s classes agree between Java regex and
         # RE2 for this ASCII corpus; integer/integer division yields

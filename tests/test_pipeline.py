@@ -485,3 +485,43 @@ def test_sample_video_frames_real_rawvid(spark):
                                 "video_id string, bytes binary")
     with pytest.raises(Exception, match="NotImplementedError|rawvid"):
         multimodal.sample_video_frames(bad).collect()
+
+
+def test_asof_join_semantics(spark):
+    """asof_join (the prompt's named custom operator): latest right row
+    at-or-before each left ts per key; inclusive vs strict; no-prior ->
+    NULL; whole-row struct carry (a NULL value field must not be
+    stitched from an older row); driver-checked vs DuckDB ASOF JOIN in
+    __spark_entry__ (asof_join query)."""
+    from tzengine.functions import asof_join
+
+    right = spark.createDataFrame(
+        [(1, 10, 100.0, "a"), (1, 20, None, "b"), (2, 15, 7.0, "c")],
+        "k long, ts long, v double, s string",
+    )
+    left = spark.createDataFrame(
+        [(1, 5), (1, 10), (1, 25), (2, 14), (2, 15), (3, 99)],
+        "k long, ts long",
+    )
+    out = {
+        (r.k, r.ts): (r.asof_v, r.asof_s)
+        for r in asof_join(left, right, key="k", ts="ts").collect()
+    }
+    assert out[(1, 5)] == (None, None)          # no prior
+    assert out[(1, 10)] == (100.0, "a")         # inclusive at equal ts
+    # whole-row carry: at ts=25 the latest right row is (20, None, 'b');
+    # v must be None, NOT stitched from the older (10, 100.0, 'a') row
+    assert out[(1, 25)] == (None, "b")
+    assert out[(2, 14)] == (None, None)
+    assert out[(2, 15)] == (7.0, "c")
+    assert out[(3, 99)] == (None, None)         # key absent from right
+
+    strict = {
+        (r.k, r.ts): r.asof_s
+        for r in asof_join(
+            left, right, key="k", ts="ts", inclusive=False
+        ).collect()
+    }
+    assert strict[(1, 10)] is None               # strictly-before only
+    assert strict[(2, 15)] is None
+    assert strict[(1, 25)] == "b"

@@ -70,3 +70,75 @@ def zone_shard_sizes(assigned: DataFrame) -> DataFrame:
     """Rows per output shard — balance check for the deterministic
     image→cell→zone-shard assignment."""
     return assigned.groupBy("zone_shard").agg(F.count("*").alias("n"))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str = "ts",
+    value_cols: list[str] | None = None,
+    inclusive: bool = True,
+) -> DataFrame:
+    """As-of join (the time-series operator Spark has no built-in for):
+    each left row gets the value columns of the LATEST right row with
+    the same key and right.ts <= left.ts (or < when inclusive=False).
+    Left rows with no prior right row keep NULLs (left-join semantics).
+
+    Scale path — union-tag + carry-forward, ONE shuffle on the key, no
+    range-join row explosion: right rows (tag 0) and left rows (tag 1)
+    are unioned, and a window over (key) ordered by (ts, tag) carries
+    the last non-null right values forward (rows between unbounded
+    preceding and current row). At equal timestamps the right row sorts
+    before the left row, which gives the inclusive (<=) semantics; a
+    skewed key is a single window partition — pre-aggregate right to
+    one row per (key, ts) before calling when right is dense.
+
+    Duplicate right rows on the same (key, ts) are resolved
+    deterministically by the LAST one in (all value columns) order —
+    callers wanting different tie-breaks should dedupe first."""
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (key, ts)]
+    tag_right = 0 if inclusive else 1
+    tag_left = 1 - tag_right
+
+    from pyspark.sql import Window
+
+    r = (
+        right.select(key, ts, *value_cols)
+        .withColumn("__tag", F.lit(tag_right))
+        .withColumn("__rid", F.lit(None).cast("long"))
+    )
+    lft = left.withColumn("__rid", F.monotonically_increasing_id())
+    l2 = (
+        lft.select(key, ts, "__rid")
+        .withColumn("__tag", F.lit(tag_left))
+    )
+    for c in value_cols:
+        l2 = l2.withColumn(c, F.lit(None).cast(dict(r.dtypes)[c]))
+    both = r.select(key, ts, "__tag", "__rid", *value_cols).unionByName(
+        l2.select(key, ts, "__tag", "__rid", *value_cols)
+    )
+    # deterministic total order: duplicates on (key, ts, tag) resolve by
+    # the value columns themselves
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("__tag").asc(),
+                 *[F.col(c).asc_nulls_first() for c in value_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # carry the WHOLE latest right row as one struct (per-column carry
+    # could stitch together fields of different right rows when a value
+    # column is null); left rows carry a NULL struct so ignorenulls
+    # skips them
+    right_struct = F.when(
+        F.col("__tag") == tag_right, F.struct(*[F.col(c) for c in value_cols])
+    )
+    carried = both.select(
+        "__rid",
+        F.last(right_struct, ignorenulls=True).over(w).alias("__asof"),
+    ).filter(F.col("__rid").isNotNull())
+    out = lft.join(carried, "__rid", "left").drop("__rid")
+    for c in value_cols:
+        out = out.withColumn(f"asof_{c}", F.col("__asof").getField(c))
+    return out.drop("__asof")
