@@ -276,6 +276,26 @@ def q_asof_join(spark, sf_dir):
     return out.select("event_id", "asof_upd_value").orderBy("event_id")
 
 
+def q_range_join(spark, sf_dir):
+    """Range join (functions.range_join — interval bucketing turns the
+    point-in-interval theta join into a hash equi-join on bucket ids):
+    orders matched to OVERLAPPING price bands derived from the nation
+    table (step 6000, width 9000 — every order can hit 0-2 bands).
+    Value-oracled against DuckDB's plain inequality join."""
+    from tzengine.functions import range_join
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    bands = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.col("n_nationkey").alias("band_id"),
+        (F.col("n_nationkey") * 6000.0).alias("lo"),
+        (F.col("n_nationkey") * 6000.0 + 9000.0).alias("hi"),
+    )
+    out = range_join(o, bands, "o_totalprice", "lo", "hi", bucket_width=4500.0)
+    return out.select("o_orderkey", "band_id").orderBy("o_orderkey", "band_id")
+
+
 def q_tpch_q3(spark, sf_dir):
     """TPC-H Q3-shaped 3-way join (customer ⋈ orders ⋈ lineitem) +
     grouped revenue — the explicit multi-join entry of the relational
@@ -1074,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_join": q_tpch_q3,
         "windowed_zone_counts": q_windowed_zone_counts,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         # training-data pipeline (SQL-oracled)
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1437,6 +1458,17 @@ def oracle_sql() -> dict[str, str]:
             FROM l ASOF LEFT JOIN upd u
               ON l.user_id = u.user_id AND l.ts >= u.ts
             ORDER BY l.event_id
+        """,
+        "range_join": """
+            WITH bands AS (
+              SELECT n_nationkey AS band_id,
+                     n_nationkey * 6000.0 AS lo,
+                     n_nationkey * 6000.0 + 9000.0 AS hi
+              FROM nation)
+            SELECT o.o_orderkey, b.band_id
+            FROM orders o JOIN bands b
+              ON o.o_totalprice >= b.lo AND o.o_totalprice <= b.hi
+            ORDER BY o.o_orderkey, b.band_id
         """,
         # quality_score: \w and \s classes agree between Java regex and
         # RE2 for this ASCII corpus; integer/integer division yields

@@ -525,3 +525,31 @@ def test_asof_join_semantics(spark):
     assert strict[(1, 10)] is None               # strictly-before only
     assert strict[(2, 15)] is None
     assert strict[(1, 25)] == "b"
+
+
+def test_range_join_bucketing_exact(spark):
+    """range_join must equal the naive theta join exactly (every pair
+    once, none missed across bucket boundaries), and must DROP invalid
+    hi<lo intervals instead of letting sequence() descend."""
+    from tzengine.functions import range_join
+
+    pts = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([-7.5, -0.1, 0.0, 3.2, 9.99, 10.0, 42.0])],
+        "pid long, p double",
+    )
+    ivs = spark.createDataFrame(
+        [(0, -10.0, 0.0), (1, 0.0, 10.0), (2, 9.5, 9.6), (3, 5.0, 4.0)],
+        "iid long, lo double, hi double",
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in range_join(pts, ivs, "p", "lo", "hi", bucket_width=3.0).collect()
+    )
+    naive = sorted(
+        (p.pid, i.iid)
+        for p in pts.collect()
+        for i in ivs.collect()
+        if i.lo <= i.hi and i.lo <= p.p <= i.hi
+    )
+    assert got == naive
+    assert (2, 3) not in got  # the inverted interval matched nothing

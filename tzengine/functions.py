@@ -142,3 +142,50 @@ def asof_join(
     for c in value_cols:
         out = out.withColumn(f"asof_{c}", F.col("__asof").getField(c))
     return out.drop("__asof")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Range join (point-in-interval; the second custom operator Spark
+    has no efficient built-in for — a naive theta join is a broadcast
+    nested loop): every (left, right) pair with
+    right.lo <= left.point <= right.hi, inner semantics.
+
+    Scale path — interval bucketing: each interval explodes to the
+    integer buckets it covers (ceil(span / bucket_width) + 1 rows), the
+    point maps to exactly ONE bucket, and the join is a plain hash
+    equi-join on the bucket id with the exact predicate as a post-
+    filter. Each qualifying pair materializes exactly once (the point's
+    bucket is always inside the interval's bucket range), so no dedup
+    pass is needed. ``bucket_width`` trades the interval blow-up factor
+    against bucket selectivity — pick it near the median interval span.
+    Intervals with hi < lo are dropped (Spark's sequence() would DESCEND
+    and silently fabricate buckets)."""
+    b_point = F.floor(F.col(point_col) / F.lit(bucket_width)).cast("long")
+    r2 = (
+        right.filter(F.col(hi_col) >= F.col(lo_col))
+        .withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo_col) / F.lit(bucket_width)).cast("long"),
+                    F.floor(F.col(hi_col) / F.lit(bucket_width)).cast("long"),
+                )
+            ),
+        )
+    )
+    return (
+        left.withColumn("__bucket", b_point)
+        .join(r2, "__bucket")
+        .filter(
+            (F.col(point_col) >= F.col(lo_col))
+            & (F.col(point_col) <= F.col(hi_col))
+        )
+        .drop("__bucket")
+    )
