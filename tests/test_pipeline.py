@@ -553,3 +553,42 @@ def test_range_join_bucketing_exact(spark):
     )
     assert got == naive
     assert (2, 3) not in got  # the inverted interval matched nothing
+
+
+def test_asof_join_shuffled_left_and_collisions(spark):
+    """The as-of carry must be plan-deterministic even when the left
+    side contains a shuffle (a row-id + self-join formulation is NOT:
+    monotonically_increasing_id can differ between the two plan
+    evaluations), and reserved/colliding column names fail fast."""
+    import pytest
+    from pyspark.sql import functions as F
+    from tzengine.functions import asof_join
+
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 20, 200.0), (2, 15, 7.0)],
+        "k long, ts long, v double",
+    )
+    left = spark.createDataFrame(
+        [(1, 5), (1, 12), (1, 25), (2, 20)], "k long, ts long"
+    )
+    plain = {
+        (r.k, r.ts): r.asof_v for r in asof_join(left, right, "k").collect()
+    }
+    shuffled = {
+        (r.k, r.ts): r.asof_v
+        for r in asof_join(
+            left.repartition(7, "ts"), right.repartition(5), "k"
+        ).collect()
+    }
+    assert plain == shuffled == {
+        (1, 5): None, (1, 12): 100.0, (1, 25): 200.0, (2, 20): 7.0
+    }
+
+    with pytest.raises(ValueError, match="collision"):
+        asof_join(left.withColumn("v", F.lit(1.0)), right, "k")
+    with pytest.raises(ValueError, match="collision"):
+        asof_join(left.withColumn("asof_v", F.lit(1.0)), right, "k")
+    from tzengine.functions import range_join
+    with pytest.raises(ValueError, match="bucket_width"):
+        range_join(left, right.selectExpr("k", "v as lo", "v as hi"),
+                   "ts", "lo", "hi", bucket_width=0.0)

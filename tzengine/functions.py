@@ -79,52 +79,60 @@ def asof_join(
     ts: str = "ts",
     value_cols: list[str] | None = None,
     inclusive: bool = True,
+    tie_cols: list[str] | None = None,
 ) -> DataFrame:
     """As-of join (the time-series operator Spark has no built-in for):
     each left row gets the value columns of the LATEST right row with
     the same key and right.ts <= left.ts (or < when inclusive=False).
     Left rows with no prior right row keep NULLs (left-join semantics).
 
-    Scale path — union-tag + carry-forward, ONE shuffle on the key, no
-    range-join row explosion: right rows (tag 0) and left rows (tag 1)
-    are unioned, and a window over (key) ordered by (ts, tag) carries
-    the last non-null right values forward (rows between unbounded
-    preceding and current row). At equal timestamps the right row sorts
-    before the left row, which gives the inclusive (<=) semantics; a
-    skewed key is a single window partition — pre-aggregate right to
-    one row per (key, ts) before calling when right is dense.
+    Scale path — union-tag + carry-forward, genuinely ONE shuffle (the
+    window's partitionBy(key)) and no range-join row explosion: right
+    rows (tag 0) and left rows (tag 1, carrying ALL their columns) are
+    unioned, a window over (key) ordered by (ts, tag) carries the
+    latest right row forward as one struct, and the left rows are
+    filtered back out with their carried values attached. No row ids,
+    no join-back — the output is deterministic for any input plan
+    (a monotonically_increasing_id + self-join formulation is not:
+    the id can differ between the two plan evaluations after a
+    shuffle). At equal timestamps the right row sorts before the left
+    row, which gives the inclusive (<=) semantics; a skewed key is a
+    single window partition — pre-aggregate right to one row per
+    (key, ts) before calling when right is dense.
 
-    Duplicate right rows on the same (key, ts) are resolved
-    deterministically by the LAST one in (all value columns) order —
-    callers wanting different tie-breaks should dedupe first."""
+    Right rows should be unique per (key, ts); duplicates resolve by
+    ``tie_cols`` order when given, else arbitrarily (but to a single
+    whole row — the struct carry never mixes fields of two rows)."""
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (key, ts)]
+    clash = (set(value_cols) & set(left.columns)) - {key, ts}
+    out_clash = {f"asof_{c}" for c in value_cols} & set(left.columns)
+    reserved = {"__tag", "__asof"} & (set(left.columns) | set(value_cols))
+    if clash or out_clash or reserved:
+        raise ValueError(
+            f"asof_join column collisions: {sorted(clash | out_clash | reserved)}"
+        )
     tag_right = 0 if inclusive else 1
     tag_left = 1 - tag_right
 
     from pyspark.sql import Window
 
-    r = (
-        right.select(key, ts, *value_cols)
-        .withColumn("__tag", F.lit(tag_right))
-        .withColumn("__rid", F.lit(None).cast("long"))
+    r = right.select(key, ts, *value_cols).withColumn(
+        "__tag", F.lit(tag_right)
     )
-    lft = left.withColumn("__rid", F.monotonically_increasing_id())
-    l2 = (
-        lft.select(key, ts, "__rid")
-        .withColumn("__tag", F.lit(tag_left))
-    )
-    for c in value_cols:
-        l2 = l2.withColumn(c, F.lit(None).cast(dict(r.dtypes)[c]))
-    both = r.select(key, ts, "__tag", "__rid", *value_cols).unionByName(
-        l2.select(key, ts, "__tag", "__rid", *value_cols)
-    )
-    # deterministic total order: duplicates on (key, ts, tag) resolve by
-    # the value columns themselves
+    l2 = left.withColumn("__tag", F.lit(tag_left))
+    # allowMissingColumns null-fills left's extra columns on right rows
+    # and right's value columns on left rows, with the right dtypes
+    both = r.unionByName(l2, allowMissingColumns=True)
+    order = [F.col(ts).asc(), F.col("__tag").asc()]
+    if tie_cols:
+        # only the caller-named tie-breakers join the sort key: ordering
+        # by every value column would choke on non-orderable types
+        # (maps) and widen the sort for no reason
+        order += [F.col(c).asc_nulls_first() for c in tie_cols]
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col(ts).asc(), F.col("__tag").asc(),
-                 *[F.col(c).asc_nulls_first() for c in value_cols])
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # carry the WHOLE latest right row as one struct (per-column carry
@@ -134,14 +142,17 @@ def asof_join(
     right_struct = F.when(
         F.col("__tag") == tag_right, F.struct(*[F.col(c) for c in value_cols])
     )
-    carried = both.select(
-        "__rid",
-        F.last(right_struct, ignorenulls=True).over(w).alias("__asof"),
-    ).filter(F.col("__rid").isNotNull())
-    out = lft.join(carried, "__rid", "left").drop("__rid")
-    for c in value_cols:
-        out = out.withColumn(f"asof_{c}", F.col("__asof").getField(c))
-    return out.drop("__asof")
+    carried = both.withColumn(
+        "__asof", F.last(right_struct, ignorenulls=True).over(w)
+    ).filter(F.col("__tag") == tag_left)
+    out = carried.select(
+        *left.columns,
+        *[
+            F.col("__asof").getField(c).alias(f"asof_{c}")
+            for c in value_cols
+        ],
+    )
+    return out
 
 
 def range_join(
@@ -167,6 +178,10 @@ def range_join(
     against bucket selectivity — pick it near the median interval span.
     Intervals with hi < lo are dropped (Spark's sequence() would DESCEND
     and silently fabricate buckets)."""
+    if not bucket_width > 0:
+        raise ValueError(f"bucket_width must be > 0, got {bucket_width!r}")
+    if "__bucket" in left.columns or "__bucket" in right.columns:
+        raise ValueError("range_join: '__bucket' column name is reserved")
     b_point = F.floor(F.col(point_col) / F.lit(bucket_width)).cast("long")
     r2 = (
         right.filter(F.col(hi_col) >= F.col(lo_col))
