@@ -249,3 +249,20 @@ def test_cell_of_expr_matches_numpy_cell_of(spark):
         lo = np.array([r[1] for r in rows])
         exp = cells.cell_of(lo, la, res).astype(np.int64).tolist()
         assert got == exp, res
+
+
+def test_zones_accessor_int32_offset_overflow_guard(engine):
+    """Arrow list<> offsets are int32; past 2^31 vertices .astype would
+    silently WRAP (ADVICE r3 #3) — zones() must fail fast instead."""
+    import dataclasses
+
+    import numpy as np
+    import pytest
+
+    big_idx = dataclasses.replace(
+        engine.idx,
+        vert_offsets=np.array([0, np.iinfo(np.int32).max + 1], dtype=np.int64),
+    )
+    big_engine = type(engine)(engine.spark, big_idx)
+    with pytest.raises(ValueError, match="int32 list-offset"):
+        big_engine.zones()

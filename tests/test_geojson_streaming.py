@@ -296,3 +296,38 @@ def test_geojson_self_intersecting_ring_repaired(spark, tmp_path):
     assert got[(1.0, 1.5)] == "Zone/Bow"   # right lobe
     assert got[(1.8, 1.0)] == "Zone/Back"  # waist gap above the crossing
     assert got[(3.0, 3.0)] == "Zone/Back"
+
+
+def test_geojsonl_duplicate_lines_collapsed_and_counted(spark, tmp_path):
+    """Byte-identical duplicate feature lines are collapsed (lossless:
+    same content-hash ordinal) but NOT silently: the returned DataFrame
+    carries a `dup_lines_dropped` accumulator observable after an action
+    (ADVICE r3 #4)."""
+    import json
+    feat = {"type": "Feature", "properties": {"tzid": "Dup/Zone"},
+            "geometry": {"type": "Polygon",
+                         "coordinates": [[[0.0, 0.0], [1.0, 0.0],
+                                          [1.0, 1.0], [0.0, 1.0], [0.0, 0.0]]]}}
+    other = {"type": "Feature", "properties": {"tzid": "Other/Zone"},
+             "geometry": {"type": "Polygon",
+                          "coordinates": [[[5.0, 5.0], [6.0, 5.0],
+                                           [6.0, 6.0], [5.0, 6.0], [5.0, 5.0]]]}}
+    path = str(tmp_path / "dups.geojsonl")
+    with open(path, "w") as f:
+        f.write(json.dumps(feat) + "\n")
+        f.write(json.dumps(feat) + "\n")   # dup 1
+        f.write(json.dumps(feat) + "\n")   # dup 2
+        f.write(json.dumps(other) + "\n")  # unique
+    df = geojson.zones_from_geojsonl(spark, path)
+    rows = df.collect()
+    assert sorted(r.zone_id for r in rows) == ["Dup/Zone", "Other/Zone"]
+    assert df.dup_lines_dropped.value == 2  # 3 copies -> 1 kept, 2 dropped
+
+    # no duplicates -> counter stays 0
+    path2 = str(tmp_path / "nodups.geojsonl")
+    with open(path2, "w") as f:
+        f.write(json.dumps(feat) + "\n")
+        f.write(json.dumps(other) + "\n")
+    df2 = geojson.zones_from_geojsonl(spark, path2)
+    df2.collect()
+    assert df2.dup_lines_dropped.value == 0

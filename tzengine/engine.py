@@ -313,6 +313,16 @@ class TzEngine:
 
         idx = self.idx
         verts = np.asarray(idx.verts, dtype=np.float64)
+        # Arrow list<> offsets are int32; .astype would silently WRAP past
+        # 2^31 vertices (ADVICE r3 #3) — fail fast instead of corrupting.
+        # (Spark's ArrowConversion does not accept large_list, so the
+        # int64-offset escape hatch isn't available here; a >2^31-vertex
+        # world must be exported in zone-range slices.)
+        if int(idx.vert_offsets[-1]) > np.iinfo(np.int32).max:
+            raise ValueError(
+                f"zones(): {int(idx.vert_offsets[-1])} vertices exceed Arrow "
+                "int32 list-offset range (2^31-1); export in slices"
+            )
         struct_arr = pa.StructArray.from_arrays(
             [pa.array(verts[:, 1]), pa.array(verts[:, 0])], ["lat", "lon"]
         )

@@ -131,19 +131,42 @@ def zones_from_geojsonl(spark: SparkSession, path: str) -> DataFrame:
     parse + cleanse runs on executors (mapInPandas over a text scan);
     ordinals are derived from a stable per-feature key so the result is
     partitioning-independent."""
+    from pyspark.sql import functions as F
+
     from .session import ensure_shipped
 
     ensure_shipped(spark)
-    # distinct() first: byte-identical duplicate feature lines (file
-    # concatenation artifacts) describe the same piece, and the content-
-    # hash ordinal would make them collide in compile_index's duplicate-
+    # Dedup byte-identical duplicate feature lines (file-concatenation
+    # artifacts): they describe the same piece, and the content-hash
+    # ordinal would make them collide in compile_index's duplicate-
     # ordinal fail-fast — dropping them here is lossless. Distinct
     # features that collide (~2^-30 per pair) still fail fast there.
     # Order-independence is free: ordinals are content-derived.
-    lines = spark.read.text(path).filter("length(trim(value)) > 0").distinct()
+    # groupBy+count instead of bare distinct() (same shuffle shape) so
+    # the drop is OBSERVABLE, not silent (ADVICE r3 #4): dropped-line
+    # totals feed the ``dup_lines_dropped`` accumulator attached to the
+    # returned DataFrame (read ``df.dup_lines_dropped.value`` after an
+    # action), and each duplicated line logs an executor-side warning.
+    lines = (
+        spark.read.text(path)
+        .filter("length(trim(value)) > 0")
+        .groupBy("value")
+        .agg(F.count("*").alias("__mult"))
+    )
+    dup_acc = spark.sparkContext.accumulator(0)
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import logging
+
         for pdf in batches:
+            mults = pdf["__mult"]
+            n_dup = int((mults - 1).clip(lower=0).sum())
+            if n_dup:
+                dup_acc.add(n_dup)
+                logging.getLogger(__name__).warning(
+                    "zones_from_geojsonl: collapsed %d byte-identical "
+                    "duplicate feature line(s) in this batch", n_dup
+                )
             out = []
             for line in pdf["value"]:
                 feature = json.loads(line)
@@ -170,7 +193,9 @@ def zones_from_geojsonl(spark: SparkSession, path: str) -> DataFrame:
             ]
             yield pd.DataFrame(out, columns=cols)
 
-    return lines.mapInPandas(parse, ZONES_SCHEMA_DDL)
+    df = lines.mapInPandas(parse, ZONES_SCHEMA_DDL)
+    df.dup_lines_dropped = dup_acc  # observable post-action (ADVICE r3 #4)
+    return df
 
 
 def world_to_geojson(pieces: list[ZonePiece], path: str, jsonl: bool = False) -> None:
