@@ -466,31 +466,79 @@ def q_knn_zones(spark, sf_dir):
     )
 
 
+def _stage(spark, df, name: str):
+    """Materialize a Spark-computed signature table to Parquet at a fixed
+    path and read it back, so the downstream pair-join runs over the
+    STAGED table and a DuckDB oracle can read the very same bytes
+    (VERDICT r3 #4/#5: the non-SQL-portable part — xxhash64 / pandas-UDF
+    signatures — stays pytest-pinned; the join logic that could silently
+    drop pairs becomes value-verified). Returns (staged_df, glob_path)."""
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), "tz_stage_oracle", name)
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path), f"{path}/*.parquet"
+
+
+def _stage_glob(name: str) -> str:
+    import tempfile
+
+    return os.path.join(tempfile.gettempdir(), "tz_stage_oracle", name, "*.parquet")
+
+
 def q_minhash_lsh(spark, sf_dir):
-    from tzengine.pipeline.dedup import minhash_lsh_pairs
+    """MinHash + banded LSH — STAGE-ORACLED: signatures (xxhash64, non-
+    SQL-portable, pytest-pinned in test_pipeline) are materialized to
+    Parquet; the banding candidate join + estimate filter runs over the
+    staged table, and the DuckDB oracle mirrors it on the same file
+    (band-bucket equality == equality of the band's raw signature
+    values)."""
+    from tzengine.pipeline.dedup import minhash_band_pairs, minhash_signatures
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_lsh_pairs(d, verify_threshold=0.5).orderBy("id_a", "id_b")
+    staged, _ = _stage(spark, minhash_signatures(d), "minhash_sigs")
+    return minhash_band_pairs(staged, verify_threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
 
 
 def q_simhash(spark, sf_dir):
-    from tzengine.pipeline.dedup import simhash_pairs
+    """SimHash pairs — STAGE-ORACLED: the bit-vote signature (pandas
+    UDF, pytest-pinned) is staged; the (d+1)-block pigeonhole join runs
+    over the staged table. The pigeonhole is LOSSLESS, so the oracle is
+    the stronger direct quadratic hamming join over the same file — it
+    verifies both the join and the losslessness claim."""
+    from tzengine.pipeline.dedup import hamming_block_pairs, simhash
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_pairs(d, max_dist=3).orderBy("id_a", "id_b")
+    staged, _ = _stage(spark, simhash(d), "simhash_sigs")
+    return (
+        hamming_block_pairs(staged, "doc_id", "simhash", max_dist=3)
+        .withColumn("hamming", F.col("hamming").cast("long"))
+        .orderBy("id_a", "id_b")
+    )
 
 
 def q_embedding_neardup(spark, sf_dir):
     """Near-dup detection fires on injected exact duplicates (the natural
     corpus has no cos>=0.9 pairs — verified; an empty result would be a
-    vacuous check)."""
-    from tzengine.pipeline.dedup import embedding_neardup_pairs
+    vacuous check). STAGE-ORACLED: hyperplane sketches (pandas UDF,
+    pytest-pinned) staged with DOUBLE embeddings; the sketch equi-join +
+    cosine verify is mirrored in DuckDB with the SAME sequential-fold
+    double AST (products of float-derived doubles are exact, both folds
+    are left-to-right), so the cosine matches bit-for-bit."""
+    from tzengine.pipeline.dedup import embedding_sketches, sketch_neardup_pairs
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
     dup = e.filter(F.col("vec_id") < 20).withColumn(
         "vec_id", F.col("vec_id") + 1000000
     )
-    return embedding_neardup_pairs(e.unionByName(dup), cos_threshold=0.99).orderBy(
+    staged, _ = _stage(
+        spark, embedding_sketches(e.unionByName(dup)), "embedding_sketches"
+    )
+    return sketch_neardup_pairs(staged, cos_threshold=0.99).orderBy(
         "id_a", "id_b"
     )
 
@@ -566,9 +614,11 @@ def q_image_features(spark, sf_dir):
 
 
 def q_phash_neardup(spark, sf_dir):
-    """Image near-dup pairs on the perceptual hash (4-block pigeonhole
-    bucketing + exact bit_count verify) — rows-only (phash values come
-    from the in-Python fixture generator)."""
+    """Image near-dup pairs on the perceptual hash ((d+1)-block pigeonhole
+    bucketing + exact bit_count verify) — STAGE-ORACLED: the xxhash64
+    phash table is staged to Parquet; the block-bucket join runs over the
+    staged table and the DuckDB oracle is the direct quadratic hamming
+    join on the same file (pigeonhole losslessness verified by value)."""
     from tzengine.pipeline.multimodal import phash_neardup_pairs
 
     base = spark.range(2000).select(
@@ -579,8 +629,11 @@ def q_phash_neardup(spark, sf_dir):
         F.concat(F.col("image_id"), F.lit("_d")).alias("image_id"),
         F.col("phash").bitwiseXOR(F.lit(2)).alias("phash"),
     )
-    return phash_neardup_pairs(base.unionByName(dup), max_dist=2).orderBy(
-        "id_a", "id_b"
+    staged, _ = _stage(spark, base.unionByName(dup), "phash_sigs")
+    return (
+        phash_neardup_pairs(staged, max_dist=2)
+        .withColumn("hamming", F.col("hamming").cast("long"))
+        .orderBy("id_a", "id_b")
     )
 
 
@@ -1077,6 +1130,83 @@ def _bigworld_oracle_sql() -> str:
     """
 
 
+def _minhash_stage_oracle_sql(num_hashes: int = 32, bands: int = 8) -> str:
+    """Mirror of minhash_band_pairs over the staged signature Parquet:
+    docs share a band bucket iff their rows_per_band signature values in
+    that band are ALL equal (xxhash64 bucket collisions are ~2^-64), and
+    est_jaccard = agreeing-minhash fraction. Integer/int division is
+    double in both engines; /num_hashes is exact (numerator <= 32)."""
+    rpb = num_hashes // bands
+    band_preds = [
+        "("
+        + " AND ".join(
+            f"a.mh_{b * rpb + r} = b.mh_{b * rpb + r}" for r in range(rpb)
+        )
+        + ")"
+        for b in range(bands)
+    ]
+    est = " + ".join(
+        f"CAST(a.mh_{i} = b.mh_{i} AS INT)" for i in range(num_hashes)
+    )
+    return f"""
+        WITH sig AS (SELECT * FROM read_parquet('{_stage_glob("minhash_sigs")}'))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               (({est}) / {num_hashes}.0)::DOUBLE AS est_jaccard
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE ({" OR ".join(band_preds)})
+          AND ({est}) / {num_hashes}.0 >= 0.5
+        ORDER BY id_a, id_b
+    """
+
+
+def _simhash_stage_oracle_sql() -> str:
+    """Direct quadratic hamming join over the staged simhash Parquet —
+    deliberately STRONGER than mirroring the pigeonhole blocks: equality
+    with the Spark result proves the (d+1)-block bucketing is lossless."""
+    return f"""
+        WITH sig AS (SELECT * FROM read_parquet('{_stage_glob("simhash_sigs")}'))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ORDER BY id_a, id_b
+    """
+
+
+def _phash_stage_oracle_sql() -> str:
+    return f"""
+        WITH sig AS (SELECT * FROM read_parquet('{_stage_glob("phash_sigs")}'))
+        SELECT a.image_id AS id_a, b.image_id AS id_b,
+               CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        FROM sig a JOIN sig b ON a.image_id < b.image_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 2
+        ORDER BY id_a, id_b
+    """
+
+
+def _embedding_stage_oracle_sql(dim: int = 64) -> str:
+    """Sketch equi-join + cosine verify over the staged sketch Parquet.
+    The cosine mirrors sketch_neardup_pairs' AST exactly: embeddings are
+    staged as DOUBLE[], every product of float-derived doubles is exact
+    (<=48 mantissa bits), and both engines fold left-to-right
+    (F.aggregate with 0.0 init == list_reduce starting at the first
+    element, since 0.0 + v1 is exact) — so dot, norms, and the final
+    divide round identically and the DOUBLE output matches bit-for-bit."""
+    prods = f"list_transform(range(1, {dim + 1}), i -> a.embedding[i] * b.embedding[i])"
+    dot = f"list_reduce({prods}, (x, y) -> x + y)"
+    na = "sqrt(list_reduce(list_transform(a.embedding, v -> v * v), (x, y) -> x + y))"
+    nb = "sqrt(list_reduce(list_transform(b.embedding, v -> v * v), (x, y) -> x + y))"
+    return f"""
+        WITH sk AS (SELECT * FROM read_parquet('{_stage_glob("embedding_sketches")}'))
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ({dot} / ({na} * {nb}))::DOUBLE AS cosine
+        FROM sk a JOIN sk b
+          ON a.sketch = b.sketch AND a.vec_id < b.vec_id
+        WHERE {dot} / ({na} * {nb}) >= 0.99
+        ORDER BY id_a, id_b
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # geo core (SQL-oracled via rect world)
@@ -1110,14 +1240,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assign_full_world": q_assign_full_world,
         "assign_bigworld": q_assign_bigworld,
         "assign_region_scoped": q_assign_region_scoped,
-        # rows-only (hash-seeded / geodesic / binary-payload)
-        "distance_boundary": q_distance_boundary,
-        "knn_zones": q_knn_zones,
+        # stage-oracled (signature table staged to Parquet; the pair-join
+        # over it is mirrored by DuckDB on the same file)
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash,
         "embedding_neardup": q_embedding_neardup,
-        "fingerprint": q_fingerprint,
         "phash_neardup": q_phash_neardup,
+        # rows-only (hash-seeded / geodesic / binary-payload)
+        "distance_boundary": q_distance_boundary,
+        "knn_zones": q_knn_zones,
+        "fingerprint": q_fingerprint,
         "image_features": q_image_features,
         "audio_features": q_audio_features,
         "video_frame_sample": q_video_frame_sample,
@@ -1429,6 +1561,14 @@ def oracle_sql() -> dict[str, str]:
         "tar_archive_roundtrip": _tar_roundtrip_oracle_sql(),
         "ivf_topk": _ivf_topk_oracle_sql(),
         "tiling_roundtrip": _tiling_oracle_sql(),
+        # round-4: stage-oracles — the hash-signature computations stay
+        # pytest-pinned (xxhash64 / pandas UDFs aren't DuckDB-portable),
+        # but the pair-joins over them are value-verified on the staged
+        # signature Parquet the Spark query itself wrote (VERDICT r3 #4/#5)
+        "minhash_lsh": _minhash_stage_oracle_sql(),
+        "simhash_pairs": _simhash_stage_oracle_sql(),
+        "phash_neardup": _phash_stage_oracle_sql(),
+        "embedding_neardup": _embedding_stage_oracle_sql(),
         "assign_bigworld": _bigworld_oracle_sql(),
         "assign_region_scoped": _region_scoped_oracle_sql(),
         "windowed_zone_counts": _windowed_zone_counts_oracle_sql(),

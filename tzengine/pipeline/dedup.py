@@ -179,11 +179,31 @@ def minhash_lsh_pairs(
     estimated Jaccard (fraction of agreeing minhashes); None keeps all
     candidates."""
     assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
     # the signatures feed the bucket explode AND two verify joins —
     # persist so the shingle explode + 32 aggregates compute once
     sig = sig.persist()
+    return minhash_band_pairs(sig, id_col, num_hashes, bands, verify_threshold)
+
+
+def minhash_band_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    verify_threshold: float | None = 0.5,
+) -> DataFrame:
+    """Banding + candidate join + estimate-verify over a PRECOMPUTED
+    signature table (columns ``id_col, mh_0..mh_{num_hashes-1}``).
+
+    Split out of :func:`minhash_lsh_pairs` so the signature table can be
+    materialized (e.g. to Parquet) and this join — the stage that could
+    silently drop pairs — mirrored by an external SQL oracle: two docs
+    share a band bucket iff their ``rows_per_band`` signature values in
+    that band are all equal (xxhash64 bucket collisions aside), which is
+    plain equality SQL over the same table (VERDICT r3 #4)."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
 
     band_cols = []
     for b in range(bands):
@@ -358,6 +378,23 @@ def embedding_neardup_pairs(
     """Embedding near-dup via random-hyperplane LSH: sign-bit sketch
     (one vectorized projection per batch) → bucket equi-join on the
     sketch → exact cosine verify JVM-side (zip_with + aggregate)."""
+    sk = embedding_sketches(df, id_col, vec_col, n_planes, seed, dim)
+    sk = sk.persist()  # sketch UDF runs once, not per join side
+    return sketch_neardup_pairs(sk, id_col, vec_col, cos_threshold)
+
+
+def embedding_sketches(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Random-hyperplane sign-bit sketch column (``sketch: long``) — the
+    signature stage of :func:`embedding_neardup_pairs`, split out so it
+    can be materialized and the pair-join mirrored by an external SQL
+    oracle (VERDICT r3 #5)."""
     planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
 
     @F.pandas_udf(T.LongType())
@@ -367,8 +404,17 @@ def embedding_neardup_pairs(
         weights = (1 << np.arange(n_planes, dtype=np.uint64))
         return pd.Series((bits @ weights).astype(np.int64))
 
-    sk = df.select(id_col, vec_col, _sketch(F.col(vec_col)).alias("sketch"))
-    sk = sk.persist()  # sketch UDF runs once, not per join side
+    return df.select(id_col, vec_col, _sketch(F.col(vec_col)).alias("sketch"))
+
+
+def sketch_neardup_pairs(
+    sk: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cos_threshold: float = 0.95,
+) -> DataFrame:
+    """Bucket equi-join on a precomputed sketch column + exact JVM-side
+    cosine verify (zip_with + aggregate fold, all double)."""
     a, b = sk.alias("a"), sk.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), lambda x, y: x * y),
