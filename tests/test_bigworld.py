@@ -121,14 +121,21 @@ def test_knn_bound_matrix_is_group_sized_not_piece_sized(idx, monkeypatch):
     the box-count of every bound evaluation."""
     from tzengine import geom
 
-    calls = []
-    real = geom.bbox_geodesic_lower_bound
+    outer_calls = []
+    pair_rows = []
+    real_outer = geom.bbox_geodesic_lower_bound
+    real_pair = geom.bbox_geodesic_lower_bound_pairwise
 
-    def spy(lats, lons, boxes):
-        calls.append((np.atleast_1d(lats).shape[0], len(boxes)))
-        return real(lats, lons, boxes)
+    def spy_outer(lats, lons, boxes):
+        outer_calls.append((np.atleast_1d(lats).shape[0], len(boxes)))
+        return real_outer(lats, lons, boxes)
 
-    monkeypatch.setattr(geom, "bbox_geodesic_lower_bound", spy)
+    def spy_pair(lats, lons, boxes):
+        pair_rows.append(len(boxes))
+        return real_pair(lats, lons, boxes)
+
+    monkeypatch.setattr(geom, "bbox_geodesic_lower_bound", spy_outer)
+    monkeypatch.setattr(geom, "bbox_geodesic_lower_bound_pairwise", spy_pair)
     # fresh group cache so the spy sees the group build too
     if hasattr(idx, "_knn_groups"):
         object.__delattr__(idx, "_knn_groups")
@@ -141,15 +148,18 @@ def test_knn_bound_matrix_is_group_sized_not_piece_sized(idx, monkeypatch):
 
     n_groups = -(-idx.n_pieces // gsize)
     assert idx.n_pieces > gsize  # the test is non-vacuous
-    for n_pts, n_boxes in calls:
-        if n_pts > 1:  # the one dense call: points x GROUPS
-            assert n_boxes == n_groups
-        else:  # lazy expansions: one point x one group's members
-            assert n_boxes <= gsize
-    # lazy expansion actually prunes: most (point, group) pairs are
-    # never expanded
-    single = [c for c in calls if c[0] == 1]
-    assert len(single) < len(lats) * n_groups / 2, (len(single), n_groups)
+    # outer (matrix) calls are points x GROUPS only — never points x pieces
+    assert outer_calls, "group bound matrix was never computed"
+    for n_pts, n_boxes in outer_calls:
+        assert n_boxes == n_groups, (n_pts, n_boxes)
+    # expansions are elementwise (pairwise) rows, and lazy expansion
+    # actually prunes: total expanded (point, piece) pairs stay well
+    # under the dense n_points x n_pieces product
+    assert pair_rows, "expansions must go through the pairwise bound"
+    total_pairs = sum(pair_rows)
+    assert total_pairs < len(lats) * idx.n_pieces / 2, (
+        total_pairs, len(lats) * idx.n_pieces
+    )
 
 
 def test_distributed_compile_index_arrays_identical(spark, world):

@@ -753,9 +753,28 @@ def bbox_geodesic_lower_bound(
     Points inside a box get 0."""
     lats = np.asarray(lats, dtype=np.float64)[:, None]  # (n,1)
     lons = np.asarray(lons, dtype=np.float64)[:, None]
-    lo_lon, lo_lat = boxes[None, :, 0], boxes[None, :, 1]
-    hi_lon, hi_lat = boxes[None, :, 2], boxes[None, :, 3]
+    return _bbox_geo_lb_core(
+        lats, lons,
+        boxes[None, :, 0], boxes[None, :, 1],
+        boxes[None, :, 2], boxes[None, :, 3],
+    )
 
+
+def bbox_geodesic_lower_bound_pairwise(
+    lats: np.ndarray, lons: np.ndarray, boxes: np.ndarray
+) -> np.ndarray:
+    """Elementwise variant of :func:`bbox_geodesic_lower_bound`: point i
+    vs box i → (n,) bounds. Same math, no outer product — the shape the
+    vectorized kNN frontier needs (each point expands DIFFERENT pieces,
+    so an outer matrix would be quadratic waste)."""
+    lats = np.asarray(lats, dtype=np.float64)
+    lons = np.asarray(lons, dtype=np.float64)
+    return _bbox_geo_lb_core(
+        lats, lons, boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    )
+
+
+def _bbox_geo_lb_core(lats, lons, lo_lon, lo_lat, hi_lon, hi_lat):
     # minimizing |Δλ| over the box, WITH antimeridian wrap: 0 inside the
     # lon interval, else the smaller of the wrapped distances to the two
     # lon edges (linear clamping alone picks the wrong side when the
