@@ -254,3 +254,101 @@ def test_dense_level_tables_bounded(idx):
     # levels of this world are not
     by_entries = max(idx.levels, key=lambda r: len(idx.levels[r][2]))
     assert by_entries in idx.level_dense
+
+
+# ---------------------------------------------------------------------------
+# Vertex-scale world (VERDICT r3 #3): >=1M float32 coastline-resolution
+# vertices — the 100x axis the 42k-vertex worlds left unmeasured.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def huge():
+    from tzengine.bigworld import huge_world
+
+    pieces = huge_world()
+    idx_h = index.compile_index(pieces, -90, -180, 90, 180,
+                                world_version="huge1")
+    return pieces, idx_h
+
+
+def test_hugeworld_shape_and_broadcast_bound(huge):
+    pieces, idx_h = huge
+    n_verts = sum(len(r) for p in pieces for r in p.rings)
+    assert n_verts >= 1_000_000
+    # all vertices sit on the float32 grid (B3 ingest contract)
+    v = idx_h.verts
+    np.testing.assert_array_equal(v, v.astype(np.float32).astype(np.float64))
+    # broadcast stays bounded: ~24B/vertex (f64 verts + f32-capable seg
+    # arrays + cells) — the index must not blow up superlinearly in V
+    assert idx_h.nbytes() < 80 * 1024 * 1024, idx_h.nbytes()
+    assert idx_h.ent_interior.any() and (~idx_h.ent_interior).any()
+
+
+def test_hugeworld_probe_matches_dense_pip(huge):
+    """Value correctness at 1M vertices: the cell-index probe must equal
+    the direct per-piece boundary-inclusive PIP (rank order = area
+    ascending) on random points AND on exact-boundary points (polygon
+    vertices), where the dense-grid level tables and f32 segment storage
+    are most stressed."""
+    from tzengine import geom
+
+    pieces, idx_h = huge
+    rng = np.random.default_rng(21)
+    lats = rng.uniform(-63, 63, 300)
+    lons = rng.uniform(-63, 63, 300)
+    # 100 exact polygon vertices as probe points (on-boundary inclusivity)
+    vsel = rng.integers(0, len(idx_h.verts), 100)
+    lats = np.concatenate([lats, idx_h.verts[vsel, 1]])
+    lons = np.concatenate([lons, idx_h.verts[vsel, 0]])
+
+    offs, ranks, valid = probe.probe_ranks(idx_h, lats, lons, mode="strict")
+    got = [ranks[offs[i]:offs[i + 1]].tolist() for i in range(len(lats))]
+
+    pts = np.stack([lons, lats], axis=1)
+    expect = [[] for _ in range(len(lats))]
+    for rank in range(idx_h.n_pieces):
+        rings = idx_h.piece_rings(rank)
+        inside = geom.contains_inclusive(pts, rings)
+        for i in np.nonzero(inside)[0]:
+            expect[i].append(rank)
+    assert got == expect
+
+
+def test_hugeworld_oracle_map_spot_check(huge):
+    """The literal reference-semantics OracleMap (linear scan, pre-clip
+    area sort) agrees with the engine on sampled points incl. a vertex."""
+    pieces, idx_h = huge
+    oracle = OracleMap(pieces, -90, -180, 90, 180)
+    rng = np.random.default_rng(5)
+    lats = list(rng.uniform(-63, 63, 8)) + [float(idx_h.verts[12345, 1])]
+    lons = list(rng.uniform(-63, 63, 8)) + [float(idx_h.verts[12345, 0])]
+    offs, ranks, valid = probe.probe_ranks(
+        idx_h, np.array(lats), np.array(lons), mode="strict"
+    )
+    _, tzids = probe.ranks_to_tzids(idx_h, offs, ranks, valid)
+    for i, (la, lo) in enumerate(zip(lats, lons)):
+        assert tzids[i] == oracle.get_overlapping_time_zones(la, lo)
+
+
+def test_hugeworld_distributed_compile_parity(spark):
+    """Distributed compile (executor compile_piece blobs) must produce
+    bit-identical index arrays on a coastline-shaped world (reduced grid
+    for CI speed; the kernel/covering path is the same)."""
+    from tzengine.bigworld import huge_world
+    from tzengine.engine import TzEngine
+    from tzengine.zones import pieces_to_df
+
+    world = huge_world(grid=5, verts=800)
+    local = TzEngine.for_everywhere(spark, world, world_version="hugeS")
+    dist = TzEngine.for_everywhere(
+        spark, pieces_to_df(spark, world), world_version="hugeS",
+        distributed=True,
+    )
+    a, b = local.idx, dist.idx
+    assert a.zone_ids == b.zone_ids
+    for field in ["areas", "piece_bbox", "vert_offsets", "verts",
+                  "seg_a", "seg_b", "ent_rank", "ent_interior",
+                  "ent_center", "ent_seg_off", "ent_seg_idx"]:
+        np.testing.assert_array_equal(getattr(a, field), getattr(b, field),
+                                      err_msg=field)

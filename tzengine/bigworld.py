@@ -59,3 +59,51 @@ def big_world(
         make_piece("Zone/Ocean", 0, ordinal, [_rect(-63.0, -63.0, 63.0, 63.0)])
     )
     return pieces
+
+
+def huge_world(
+    grid: int = 20, verts: int = 2600, seed: int = 7, harmonics: int = 64
+) -> list[ZonePiece]:
+    """Vertex-scale world (VERDICT r3 #3 — the untested 100x axis): a
+    grid² set of COASTLINE-RESOLUTION zones, each boundary a fractal
+    radius function r(θ) = base·(1 + Σ aₖ sin(kθ+φₖ)) with 1/k amplitude
+    decay (pink-spectrum "coastline" detail, like the real 2020d
+    archive's tens-of-MB float32 vertex data — TimeZoneMapTest.java:
+    195-210 bounds a 2°x2° slice at 1.5 MB). Radius is single-valued and
+    positive, so every ring is star-shaped ⇒ guaranteed simple. Default
+    20x20 x 2600 verts ≈ 1.04M float32 vertices + a world filler.
+
+    Construction is fully vectorized (no per-vertex Python): rings are
+    built as (V,2) float32-grid arrays directly."""
+    from . import geom
+
+    rng = np.random.default_rng(seed)
+    pieces: list[ZonePiece] = []
+    ordinal = 0
+    span = 126.0
+    tile = span / grid
+    theta = np.linspace(0.0, 2 * np.pi, verts, endpoint=False)
+    k = np.arange(1, harmonics + 1, dtype=np.float64)
+    # Σ|aₖ| = 0.42 keeps r within [0.58, 1.42]·base — positive, bounded
+    amp_scale = 0.42 / np.sum(1.0 / k)
+    for gy in range(grid):
+        for gx in range(grid):
+            cx = -63.0 + (gx + 0.5) * tile
+            cy = -63.0 + (gy + 0.5) * tile
+            base = rng.uniform(0.30, 0.36) * tile
+            a = amp_scale / k * rng.choice([-1.0, 1.0], harmonics)
+            phi = rng.uniform(0.0, 2 * np.pi, harmonics)
+            r = base * (1.0 + np.sin(np.outer(theta, k) + phi) @ a)
+            lon = cx + r * np.cos(theta)
+            lat = cy + r * np.sin(theta)
+            # CW outer ring in (lon,lat): reverse the CCW sweep; vertices
+            # snapped to the float32 grid like every ingest path (B3)
+            ring = geom.f32(np.stack([lon[::-1], lat[::-1]], axis=1))
+            pieces.append(
+                ZonePiece(f"Zone/H{gy:02d}x{gx:02d}", 0, ordinal, [ring])
+            )
+            ordinal += 1
+    pieces.append(
+        make_piece("Zone/Ocean", 0, ordinal, [_rect(-63.0, -63.0, 63.0, 63.0)])
+    )
+    return pieces

@@ -168,7 +168,9 @@ def cover_piece(
         frontier, b = frontier[keep], b[keep]
         if not len(frontier):
             break
-        crossed = geom.segments_box_matrix(seg_a, seg_b, b).any(axis=1)
+        cross_rows, _ = geom.segments_box_pairs(seg_a, seg_b, b)
+        crossed = np.zeros(len(b), dtype=bool)
+        crossed[cross_rows] = True
 
         # uniform cells: decide by center point, keep the interior ones
         uni = ~crossed
@@ -315,12 +317,9 @@ def compile_piece(rings: list[np.ndarray], depth: int = 5) -> dict:
     idx_parts: list[np.ndarray] = []
     bsel = np.nonzero(~interior)[0]
     if len(bsel):
-        mat = geom.segments_box_matrix(sa, sb, bounds[bsel])
-        rows, cols = np.nonzero(mat)
-        split_at = np.searchsorted(rows, np.arange(len(bsel)))
-        split_at = np.append(split_at, len(rows))
-        loc_counts[bsel] = np.diff(split_at)
-        idx_parts.append(cols.astype(np.int32))  # already row-major order
+        rows, cols = geom.segments_box_pairs(sa, sb, bounds[bsel])
+        loc_counts[bsel] = np.bincount(rows, minlength=len(bsel))
+        idx_parts.append(cols.astype(np.int32))  # row-major order
     loc_off = np.zeros(n_cells + 1, dtype=np.int64)
     np.cumsum(loc_counts, out=loc_off[1:])
     return {
