@@ -6,19 +6,25 @@ ONE JSON line:
 
     {"metric": ..., "value": <total sec>, "unit": "sec",
      "queries": {...per-query sec...}, "sf": ...,
-     "assign_rows_per_sec": ..., "scaling": {...}}
+     "assign_rows_per_sec": ..., "floor_sec": ..., "scaling": {...},
+     "hugeworld": {...}}
+
+EVERY timed measurement runs in a FRESH CHILD PROCESS pinned with
+sched_setaffinity to exactly N host cores before the JVM launches
+(VERDICT r3 #1): this microVM host shows hypervisor CPU-steal bursts
+(loadavg ~10 with 96% idle, 2-4x erratic wall swings), so long-lived
+main-session timings are noise hostages — r3's artifact recorded
+assign_world454 1.945 s in-session while six pinned sessions measured
+0.887-1.148 s. Each query records its own bracketing 1-minute loadavg so
+a loaded window is attributable from the artifact alone.
 
 The scaling block is the sandbox proxy for the north rule's two-cluster
 criterion: the SAME timezone-assignment job on the SAME input at N and 4N
 cores, reporting throughput at both and efficiency = T(4N) / (4 * T(N)).
-
-Each ladder step runs in a FRESH child process pinned with
-sched_setaffinity to exactly N host cores before the JVM launches, so the
-JVM task threads AND the Python UDF workers share the N-core budget —
-the same accounting as an N-core cluster node. Without pinning, local[N]
-silently borrows extra host cores for the Python workers (JVM and Python
-pipeline concurrently), inflating low-N throughput and understating
-scaling efficiency.
+Pinning means the JVM task threads AND the Python UDF workers share the
+N-core budget — the same accounting as an N-core cluster node. Without
+pinning, local[N] silently borrows extra host cores for the Python
+workers, inflating low-N throughput and understating scaling efficiency.
 """
 
 from __future__ import annotations
@@ -30,6 +36,10 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -65,6 +75,10 @@ REPLICATE = 10  # points per lineitem row — amortizes fixed per-job costs
 # comparable round-over-round.
 LADDER_REPLICATE = 20
 
+# paired (2, 8) scaling rounds: 5 (r3 used 3 — with 3, two loaded draws
+# sink the median; with 5 the median survives two; VERDICT r3 #2)
+PAIRED_ROUNDS = 5
+
 
 def probe_points(spark: SparkSession, sf_dir: str, replicate: int = REPLICATE):
     """Deterministic probe table derived from lineitem (the largest
@@ -89,6 +103,39 @@ def timed(fn):
     return time.time() - t0, n
 
 
+def _pin(cores: int) -> None:
+    """Pin this process (BEFORE the JVM launches, so every descendant —
+    JVM, pyspark.daemon, UDF workers — inherits the budget) to the
+    HIGHEST-numbered cores: cpu0 and neighbors concentrate kernel/IRQ
+    work, which would bias small-N runs low."""
+    try:
+        total = os.cpu_count() or cores
+        os.sched_setaffinity(0, set(range(max(0, total - cores), total)))
+    except (AttributeError, OSError):
+        pass  # non-Linux fallback: unpinned (over-reports low-N throughput)
+
+
+def _run_child(args: list[str], timeout: int = 1800) -> dict:
+    """Run a bench child mode, return its JSON line + bracketing loadavg."""
+    load0 = os.getloadavg()[0]
+    cmd = [sys.executable, os.path.abspath(__file__)] + args
+    res = subprocess.run(cmd, capture_output=True, text=True, timeout=timeout)
+    load1 = os.getloadavg()[0]
+    for line in reversed(res.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            d = json.loads(line)
+            d["loadavg"] = [round(load0, 2), round(load1, 2)]
+            return d
+    raise RuntimeError(
+        f"bench child failed ({args}):\n{res.stdout[-2000:]}\n{res.stderr[-2000:]}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# child: --assign-only (scaling ladder legs + headline assign + Arrow floor)
+# ---------------------------------------------------------------------------
+
+
 def assign_job(spark, sf_dir, cores, replicate: int = REPLICATE, n_timed: int = 5):
     """The headline job: broadcast-index timezone assignment over every
     derived point, counted per zone (forces full evaluation)."""
@@ -106,49 +153,366 @@ def assign_job(spark, sf_dir, cores, replicate: int = REPLICATE, n_timed: int = 
 
     run()  # warm-up: plan compile + JIT + python worker pool spin-up
     best = min(timed(run)[0] for _ in range(n_timed))
+    floor = floor_job(spark, pts, cores, n_timed=n_timed)
     pts.unpersist()
-    return best, n_rows
+    return best, n_rows, floor
+
+
+def floor_job(spark, pts, cores, n_timed: int = 5) -> float:
+    """Platform floor (VERDICT r3 #9): a TRIVIAL pandas UDF with the
+    probe's exact input/output schema — two doubles in, (bool, int32,
+    list<int32>) out, ZERO compute — over the same cached points. The
+    wall is Spark's own Arrow/Python serialization cost; assign_geo /
+    floor_sec quantifies how close the engine sits to that floor
+    (round 3 measured the full assign at ~1.2x the floor)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("valid", T.BooleanType()),
+            T.StructField("first_rank", T.IntegerType()),
+            T.StructField("ranks", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def _floor(lat: pd.Series, lon: pd.Series) -> pd.DataFrame:
+        n = len(lat)
+        return pd.DataFrame(
+            {
+                "valid": pd.Series(
+                    pa.array(np.ones(n, dtype=bool)),
+                    dtype=pd.ArrowDtype(pa.bool_()),
+                ),
+                "first_rank": pd.Series(
+                    pa.array(np.zeros(n, dtype="int32")),
+                    dtype=pd.ArrowDtype(pa.int32()),
+                ),
+                "ranks": pd.Series(
+                    pa.ListArray.from_arrays(
+                        pa.array(np.arange(n + 1, dtype="int32")),
+                        pa.array(np.zeros(n, dtype="int32")),
+                    ),
+                    dtype=pd.ArrowDtype(pa.list_(pa.int32())),
+                ),
+            }
+        )
+
+    out = pts.withColumn("__f", _floor(F.col("lat"), F.col("lon")))
+
+    def run():
+        return out.groupBy(F.col("__f.first_rank")).count().collect()
+
+    run()  # warm-up
+    return min(timed(run)[0] for _ in range(n_timed))
 
 
 def _assign_pinned(
     cores: int, sf_dir: str, replicate: int = LADDER_REPLICATE
-) -> tuple[float, int, list[float]]:
-    """Run assign_job in a fresh child process whose ENTIRE tree (JVM +
-    Python workers) is pinned to ``cores`` host cores. Returns
-    (best elapsed sec, rows, [loadavg_before, loadavg_after]) — the
-    1-minute load averages bracket the session so a loaded host is
-    attributable from the recorded artifact alone."""
-    load0 = os.getloadavg()[0]
-    cmd = [
-        sys.executable, os.path.abspath(__file__), "--assign-only", str(cores),
-        sf_dir, str(replicate),
-    ]
-    res = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
-    load1 = os.getloadavg()[0]
-    for line in reversed(res.stdout.strip().splitlines()):
-        if line.startswith("{"):
-            d = json.loads(line)
-            return d["elapsed"], d["rows"], [round(load0, 2), round(load1, 2)]
-    raise RuntimeError(
-        f"pinned assign subprocess failed (cores={cores}):\n"
-        f"{res.stdout[-2000:]}\n{res.stderr[-2000:]}"
+) -> tuple[float, int, list[float], float]:
+    """Run assign_job in a fresh child pinned to ``cores`` host cores.
+    Returns (best sec, rows, [loadavg_before, loadavg_after], floor sec)."""
+    d = _run_child(
+        ["--assign-only", str(cores), sf_dir, str(replicate)]
     )
+    return d["elapsed"], d["rows"], d["loadavg"], d.get("floor")
 
 
 def _assign_only_child(cores: int, sf_dir: str, replicate: int) -> None:
-    """Child entry: pin BEFORE the JVM launches so every descendant
-    (JVM, pyspark.daemon, UDF workers) inherits the N-core budget.
-    Pins the HIGHEST-numbered cores: cpu0 (and neighbors) concentrate
-    kernel/IRQ work, which would bias small-N runs low."""
-    try:
-        total = os.cpu_count() or cores
-        os.sched_setaffinity(0, set(range(max(0, total - cores), total)))
-    except (AttributeError, OSError):
-        pass  # non-Linux fallback: unpinned (over-reports low-N throughput)
+    _pin(cores)
     spark = build_session(cores)
-    el, n = assign_job(spark, sf_dir, cores, replicate=replicate)
+    el, n, floor = assign_job(spark, sf_dir, cores, replicate=replicate)
     spark.stop()
-    print(json.dumps({"cores": cores, "elapsed": el, "rows": n}))
+    print(json.dumps(
+        {"cores": cores, "elapsed": el, "rows": n, "floor": round(floor, 3)}
+    ))
+
+
+# ---------------------------------------------------------------------------
+# child: --queries-only (every in-session bench query, pinned fresh JVM)
+# ---------------------------------------------------------------------------
+
+QUERY_NAMES = [
+    "assign_world454",
+    "assign_first_only",
+    "tpch_q1",
+    "topk_per_group",
+    "bbox_agg",
+    "pip_assign_rect",
+    "dedup_exact",
+    "minhash_lsh",
+    "ann_topk",
+    "explode_tokens",
+    "knn_kernel",
+]
+
+
+def _queries_only_child(cores: int, sf_dir: str) -> None:
+    """All former in-session queries, measured in ONE fresh pinned JVM
+    (the assign_geo pattern, VERDICT r3 #1): per-query warm-up +
+    min-of-3, with a bracketing loadavg PER QUERY in the output so the
+    artifact can attribute any outlier to a load window."""
+    _pin(cores)
+    spark = build_session(cores)
+
+    from tzengine.bigworld import big_world
+    from tzengine.engine import TzEngine
+    from tzengine.oracle import OracleMap
+    from tzengine.zones import synthetic_world
+
+    import __spark_entry__ as entrymod
+
+    out: dict[str, dict] = {}
+
+    def measure(name, run, n_timed=3):
+        run()  # warm-up: plan compile + JIT + worker spin-up
+        l0 = os.getloadavg()[0]
+        el = min(timed(run)[0] for _ in range(n_timed))
+        out[name] = {
+            "sec": round(el, 3),
+            "loadavg": [round(l0, 2), round(os.getloadavg()[0], 2)],
+        }
+        return el
+
+    # world-scale assignment (454 zones, 42k vertices)
+    eng454 = TzEngine.for_everywhere(spark, big_world(), world_version="big1")
+    pts454 = (
+        probe_points(spark, sf_dir)
+        .select(
+            (F.col("lat") * 12.0 - 60.0).alias("lat"),
+            (F.col("lon") * 12.0 - 60.0).alias("lon"),
+        )
+        .repartition(cores)
+        .cache()
+    )
+    n454 = pts454.count()
+    out454 = eng454.assign_timezones(pts454, mode="strict")
+    el454 = measure(
+        "assign_world454", lambda: out454.groupBy("tzid").count().collect()
+    )
+    out["assign_world454"]["rows_per_sec"] = round(n454 / el454)
+    pts454.unpersist()
+
+    # Q1-only assignment (reference getOverlappingTimeZone: no rank list
+    # across the Arrow boundary, no per-element JVM transform)
+    eng_q1 = TzEngine.for_everywhere(
+        spark, synthetic_world(), world_version="synth1"
+    )
+    pts_q1 = probe_points(spark, sf_dir).repartition(cores).cache()
+    pts_q1.count()
+    out_q1 = eng_q1.assign_timezones(pts_q1, mode="strict", include_all=False)
+    measure(
+        "assign_first_only", lambda: out_q1.groupBy("tzid").count().collect()
+    )
+    pts_q1.unpersist()
+
+    # driver-contract queries at full parallelism
+    qs = entrymod.queries()
+    for name in [
+        "tpch_q1",
+        "topk_per_group",
+        "bbox_agg",
+        "pip_assign_rect",
+        "dedup_exact",
+        "minhash_lsh",
+        "ann_topk",
+        "explode_tokens",
+    ]:
+        fn = qs[name]
+        measure(name, lambda f=fn: f(spark, sf_dir).count())
+
+    # kNN fallback operator (driver-side kernel; VERDICT r3 #6 asked for
+    # perf visibility): 20k points against the 454-piece world
+    import numpy as np
+
+    from tzengine import index as indexmod, probe as probemod
+
+    knn_idx = indexmod.compile_index(
+        big_world(), -90, -180, 90, 180, "big1"
+    )
+    rng = np.random.default_rng(3)
+    knn_n = 20000
+    knn_lats = rng.uniform(-60, 60, knn_n)
+    knn_lons = rng.uniform(-60, 60, knn_n)
+    el_knn = measure(
+        "knn_kernel",
+        lambda: probemod.knn_zones_batch(knn_idx, knn_lats, knn_lons, k=3),
+        n_timed=2,
+    )
+    out["knn_kernel"]["rows_per_sec"] = round(knn_n / el_knn)
+
+    # exact zone-match rate vs the reference-semantics oracle (untimed)
+    _eng = TzEngine.for_everywhere(
+        spark, synthetic_world(), world_version="synth1"
+    )
+    _oracle = OracleMap(synthetic_world(), -90, -180, 90, 180)
+    sample = probe_points(spark, sf_dir).limit(2000).collect()
+    s_df = spark.createDataFrame(
+        [(r.lat, r.lon) for r in sample], "lat double, lon double"
+    )
+    got = _eng.assign_timezones(s_df, mode="strict").collect()
+    n_match = sum(
+        1
+        for r in got
+        if list(r.tzids) == _oracle.get_overlapping_time_zones(r.lat, r.lon)
+    )
+    spark.stop()
+    print(json.dumps(
+        {
+            "queries": out,
+            "zone_match_rate": n_match / max(len(got), 1),
+            "world454_rows": n454,
+        }
+    ))
+
+
+# ---------------------------------------------------------------------------
+# child: --hugeworld-only (the >=1M-vertex axis, VERDICT r3 #3)
+# ---------------------------------------------------------------------------
+
+
+def _hugeworld_only_child(cores: int, sf_dir: str) -> None:
+    """Vertex-scale evidence: compile wall (driver AND distributed),
+    broadcast size, boundary-cell stats, kernel rows/s/core, and the
+    full Spark assign wall over the 1.04M-vertex coastline world."""
+    _pin(cores)
+    import numpy as np
+
+    from tzengine import index as indexmod, probe as probemod
+    from tzengine.bigworld import huge_world
+    from tzengine.engine import TzEngine
+
+    pieces = huge_world()
+    n_verts = sum(len(r) for p in pieces for r in p.rings)
+
+    t0 = time.time()
+    idx = indexmod.compile_index(pieces, -90, -180, 90, 180, "huge1")
+    compile_driver = time.time() - t0
+
+    # kernel-only throughput + boundary-pass share (single thread)
+    rng = np.random.default_rng(5)
+    kn = 200_000
+    klats = rng.uniform(-63, 63, kn)
+    klons = rng.uniform(-63, 63, kn)
+    probemod.probe_ranks(idx, klats, klons, mode="pipeline")  # warm-up
+    stats: dict = {}
+    t0 = time.time()
+    probemod.probe_ranks(idx, klats, klons, mode="pipeline", stats=stats)
+    kernel_el = time.time() - t0
+
+    spark = build_session(cores)
+    from tzengine.zones import pieces_to_df
+
+    # distributed compile wall (executor compile_piece blobs; the
+    # DataFrame build is fixture prep, reported separately)
+    t0 = time.time()
+    zdf = pieces_to_df(spark, pieces)
+    df_build = time.time() - t0
+    t0 = time.time()
+    eng_dist = TzEngine.for_everywhere(
+        spark, zdf, world_version="huge1", distributed=True
+    )
+    compile_dist = time.time() - t0
+    del eng_dist
+
+    eng = TzEngine(spark, idx)
+    pts = (
+        probe_points(spark, sf_dir)
+        .select(
+            (F.col("lat") * 12.0 - 60.0).alias("lat"),
+            (F.col("lon") * 12.0 - 60.0).alias("lon"),
+        )
+        .repartition(cores)
+        .cache()
+    )
+    n_rows = pts.count()
+    out = eng.assign_timezones(pts, mode="strict")
+
+    def run():
+        return out.groupBy("tzid").count().collect()
+
+    run()
+    el = min(timed(run)[0] for _ in range(3))
+    spark.stop()
+    print(json.dumps(
+        {
+            "n_vertices": n_verts,
+            "n_pieces": idx.n_pieces,
+            "compile_sec_driver": round(compile_driver, 2),
+            "compile_sec_distributed": round(compile_dist, 2),
+            "zones_df_build_sec": round(df_build, 2),
+            "broadcast_mb": round(idx.nbytes() / 1e6, 1),
+            "boundary_cell_share": round(
+                float((~idx.ent_interior).mean()), 4
+            ),
+            "kernel_rows_per_sec_core": round(kn / kernel_el),
+            "boundary_candidate_share": round(
+                stats["n_boundary_candidates"] / max(stats["n_candidates"], 1),
+                4,
+            ),
+            "assign_sec": round(el, 3),
+            "rows": n_rows,
+            "rows_per_sec": round(n_rows / el),
+        }
+    ))
+
+
+# ---------------------------------------------------------------------------
+# child: --kernel-ladder (DRAM-ceiling evidence, VERDICT r3 #10)
+# ---------------------------------------------------------------------------
+
+
+def _kernel_ladder_child(cores: int) -> None:
+    """Kernel-only (no Spark, no Arrow) assign throughput with ``cores``
+    pinned worker processes — isolates the MEMORY-BUS term of the
+    scaling ladder: if kernel-only 2->8 efficiency matches the Spark
+    ladder's, the ladder's sub-linearity is the host's DRAM ceiling, not
+    an engine bottleneck (the probe itself is shuffle-free)."""
+    _pin(cores)  # spawn children inherit the affinity mask
+    import multiprocessing as mp
+
+    from tzengine.zones import synthetic_world
+    from tzengine import index as indexmod
+
+    idx = indexmod.compile_index(
+        synthetic_world(), -90, -180, 90, 180, "synth1"
+    )
+    n_per = 2_000_000
+
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(cores) as pool:
+        pool.map(_kernel_worker_run, [(idx, n_per, 0)] * cores)  # warm-up
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            pool.map(
+                _kernel_worker_run, [(idx, n_per, s) for s in range(cores)]
+            )
+            el = time.time() - t0
+            best = el if best is None else min(best, el)
+    total = n_per * cores
+    print(json.dumps(
+        {"cores": cores, "rows": total, "elapsed": best,
+         "rows_per_sec": round(total / best)}
+    ))
+
+
+def _kernel_worker_run(args):
+    idx, n, seed = args
+    import numpy as np
+
+    from tzengine import probe as probemod
+
+    rng = np.random.default_rng(seed)
+    lats = rng.uniform(0, 9.9, n)
+    lons = rng.uniform(0, 9.9, n)
+    probemod.probe_ranks(idx, lats, lons, mode="pipeline")
+    return n
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
 
 
 def main() -> None:
@@ -157,31 +521,29 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     queries: dict[str, float] = {}
+    queries_loadavg: dict[str, list[float]] = {}
 
     # --- scaling proxy: same job at N and 4N cores (north_rule), each
     # step CPU-PINNED in a fresh process (see module docstring). The
     # north-rule N->4N pair is (2, 8): both below the single-host DRAM
     # ceiling, the regime that models adding cluster nodes (each node
     # brings its own memory bus). The full ladder up to 32 is reported
-    # too; 8->32 on this box is capped by the shared memory bus (kernel-
-    # only multiprocessing shows the same cap; see BASELINE.md).
+    # too; 8->32 on this box is capped by the shared memory bus (the
+    # kernel_only_2_8 block and BASELINE.md show kernel-only
+    # multiprocessing hits the same cap).
     #
-    # Recording (round-3 hardening): the 2- and 8-core sessions run as
-    # PAIRED back-to-back rounds and the graded efficiency is the MEDIAN
-    # of the per-round ratios. Pairing cancels session-scale host-load
+    # Recording: PAIRED back-to-back (2, 8) rounds; graded efficiency =
+    # MEDIAN of per-round ratios. Pairing cancels session-scale host-load
     # drift (both legs of a ratio see the same neighbors); the median
-    # rejects a single loaded round. Every session records bracketing
-    # 1-minute loadavg so the artifact itself shows whether the host was
-    # quiet. Earlier rounds took best-of-independent-sessions per core
-    # count, which let a lucky 2-core best pair with an unlucky 8-core
-    # best and understate the ratio (BENCH_r02: 0.785 recorded vs
-    # 0.824-1.03 across five pinned sessions).
+    # rejects loaded rounds — 5 rounds (r4, VERDICT r3 #2) so even TWO
+    # loaded draws cannot sink the median (3 rounds left no margin:
+    # r3 recorded 0.847/0.742/0.802 -> 0.802, one bad draw from red).
     thr = {}
     n_rows = 0
     pair_rounds = []
-    for _round in range(3):
-        el2, n_rows, load2 = _assign_pinned(2, sf_dir)
-        el8, _, load8 = _assign_pinned(8, sf_dir)
+    for _round in range(PAIRED_ROUNDS):
+        el2, n_rows, load2, _ = _assign_pinned(2, sf_dir)
+        el8, _, load8, _ = _assign_pinned(8, sf_dir)
         t2, t8 = n_rows / el2, n_rows / el8
         pair_rounds.append(
             {
@@ -199,116 +561,100 @@ def main() -> None:
     loads32 = []
     best_el32 = None
     for _attempt in range(2):
-        el32, n_rows, load32 = _assign_pinned(cores, sf_dir)
+        el32, n_rows, load32, _ = _assign_pinned(cores, sf_dir)
         loads32.append(load32)
         best_el32 = el32 if best_el32 is None else min(best_el32, el32)
     thr[cores] = n_rows / best_el32
 
-    # headline assign wall at REPLICATE=10 from a dedicated pinned child
-    # (fresh pinned JVM, min-of-5 in-child runs, best of 2 sessions) —
-    # the same measurement r01/r02 recorded, directly comparable round-
-    # over-round and immune to main-session hypervisor-noise windows
-    # (this microVM host shows CPU-steal bursts; see BASELINE.md)
+    # headline assign wall + Arrow platform floor at REPLICATE=10 from a
+    # dedicated pinned child (fresh pinned JVM, min-of-5 in-child runs,
+    # best of 2 sessions)
     best_el10 = None
+    floor_sec = None
+    loads10 = []
     for _attempt in range(2):
-        el10, _n10, _l10 = _assign_pinned(cores, sf_dir, replicate=REPLICATE)
-        best_el10 = el10 if best_el10 is None else min(best_el10, el10)
+        el10, _n10, l10, fl10 = _assign_pinned(
+            cores, sf_dir, replicate=REPLICATE
+        )
+        loads10.append(l10)
+        if best_el10 is None or el10 < best_el10:
+            best_el10 = el10
+        if fl10 is not None and (floor_sec is None or fl10 < floor_sec):
+            floor_sec = fl10
     queries["assign_geo"] = round(best_el10, 3)
+    queries_loadavg["assign_geo"] = loads10
 
-    spark = build_session(cores)
+    # --- every other query: ONE fresh pinned child, per-query loadavg ---
+    qd = _run_child(["--queries-only", str(cores), sf_dir], timeout=2400)
+    for name in QUERY_NAMES:
+        queries[name] = qd["queries"][name]["sec"]
+        queries_loadavg[name] = qd["queries"][name]["loadavg"]
+    zone_match_rate = qd["zone_match_rate"]
+    n454 = qd["world454_rows"]
+    el454 = queries["assign_world454"]
+    knn_rps = qd["queries"]["knn_kernel"].get("rows_per_sec")
 
-    # --- exact zone-match rate vs the reference-semantics oracle ----------
-    from tzengine.engine import TzEngine as _TzE
-    from tzengine.oracle import OracleMap
-    from tzengine.zones import synthetic_world as _sw
+    # --- vertex-scale world (>=1M f32 vertices, VERDICT r3 #3) ----------
+    huge = _run_child(["--hugeworld-only", str(cores), sf_dir], timeout=2400)
+    huge_load = huge.pop("loadavg")
+    queries["assign_hugeworld"] = huge["assign_sec"]
+    queries_loadavg["assign_hugeworld"] = huge_load
 
-    _eng = _TzE.for_everywhere(spark, _sw(), world_version="synth1")
-    _oracle = OracleMap(_sw(), -90, -180, 90, 180)
-    sample = probe_points(spark, sf_dir).limit(2000).collect()
-    s_df = spark.createDataFrame(
-        [(r.lat, r.lon) for r in sample], "lat double, lon double"
-    )
-    got = _eng.assign_timezones(s_df, mode="strict").collect()
-    n_match = sum(
-        1
-        for r in got
-        if list(r.tzids) == _oracle.get_overlapping_time_zones(r.lat, r.lon)
-    )
-    zone_match_rate = n_match / max(len(got), 1)
-    # north-rule pair: N=2 -> 4N=8 (both under the DRAM ceiling — the
-    # cluster-node regime; eff_2_8 = median of the paired rounds above);
-    # the 8->32 pair is reported as evidence of the single-host
-    # memory-bus cap
+    # --- kernel-only DRAM evidence (no Spark): 2 vs 8 pinned procs ------
+    kernel_only = {}
+    try:
+        k2 = _run_child(["--kernel-ladder", "2"], timeout=900)
+        k8 = _run_child(["--kernel-ladder", "8"], timeout=900)
+        kernel_only = {
+            "rows_per_sec_2": k2["rows_per_sec"],
+            "rows_per_sec_8": k8["rows_per_sec"],
+            "efficiency_2_to_8": round(
+                k8["rows_per_sec"] / (4.0 * k2["rows_per_sec"]), 3
+            ),
+            "note": (
+                "pure-kernel multiprocessing (no Spark/Arrow): the 2-core "
+                "leg enjoys the full memory bus while the 8-core leg "
+                "shares it — this ratio bounds what ANY engine can score "
+                "on this host and anchors the Spark ladder's "
+                "interpretation (VERDICT r3 #10)"
+            ),
+        }
+    except Exception as e:  # kernel evidence is supplementary
+        kernel_only = {"error": str(e)[:200]}
+
     eff_mid_high = (
         thr[cores] / ((cores / 8) * thr[8]) if 8 in thr and cores != 8
         else None
     )
 
-    # --- world-scale assignment (454 zones, 42k vertices) -----------------
-    from tzengine.engine import TzEngine
-    from tzengine.bigworld import big_world
-
-    eng454 = TzEngine.for_everywhere(spark, big_world(), world_version="big1")
-    pts454 = probe_points(spark, sf_dir).repartition(cores).cache()
-    n454 = pts454.count()
-    # big world spans lat/lon [-63,63]; shift derived points into range
-    pts454 = pts454.select(
-        (F.col("lat") * 12.0 - 60.0).alias("lat"),
-        (F.col("lon") * 12.0 - 60.0).alias("lon"),
-    ).cache()
-    pts454.count()
-    out454 = eng454.assign_timezones(pts454, mode="strict")
-    out454.groupBy("tzid").count().collect()
-    el454 = min(timed(lambda: out454.groupBy("tzid").count().collect())[0]
-                for _ in range(3))
-    queries["assign_world454"] = round(el454, 3)
-
-    # --- Q1-only assignment (reference getOverlappingTimeZone): no rank
-    # list across the Arrow boundary, no per-element JVM transform -------
-    from tzengine.zones import synthetic_world as _sw2
-
-    eng_q1 = TzEngine.for_everywhere(spark, _sw2(), world_version="synth1")
-    pts_q1 = probe_points(spark, sf_dir).repartition(cores).cache()
-    n_q1 = pts_q1.count()
-    out_q1 = eng_q1.assign_timezones(pts_q1, mode="strict", include_all=False)
-    out_q1.groupBy("tzid").count().collect()
-    el_q1 = min(timed(lambda: out_q1.groupBy("tzid").count().collect())[0]
-                for _ in range(3))
-    queries["assign_first_only"] = round(el_q1, 3)
-    pts_q1.unpersist()
-
-    # --- other headline queries at full parallelism -----------------------
-    import __spark_entry__ as entrymod
-
-    qs = entrymod.queries()
-    for name in [
-        "tpch_q1",
-        "topk_per_group",
-        "bbox_agg",
-        "pip_assign_rect",
-        "dedup_exact",
-        "minhash_lsh",
-        "ann_topk",
-        "explode_tokens",
-    ]:
-        fn = qs[name]
-        fn(spark, sf_dir).count()  # warm-up/plan compile
-        el = min(
-            timed(lambda f=fn: f(spark, sf_dir).count())[0] for _ in range(2)
-        )
-        queries[name] = round(el, 3)
-
     total = round(sum(queries.values()), 3)
+    # r4 adds two queries (knn_kernel, assign_hugeworld) to the set; the
+    # r3-comparable subtotal keeps round-over-round totals honest
+    r3_set = [
+        "assign_geo", "assign_world454", "assign_first_only", "tpch_q1",
+        "topk_per_group", "bbox_agg", "pip_assign_rect", "dedup_exact",
+        "minhash_lsh", "ann_topk", "explode_tokens",
+    ]
     result = {
         "metric": "timezone-assignment throughput + headline query wall",
         "value": total,
+        "value_r3_comparable": round(
+            sum(queries[q] for q in r3_set if q in queries), 3
+        ),
         "unit": "sec",
         "queries": queries,
+        "queries_loadavg": queries_loadavg,
         "sf": sf,
         "rows_assigned": n_rows,
         "zone_match_rate": zone_match_rate,
         "assign_rows_per_sec": round(thr[cores]),
         "assign_world454_rows_per_sec": round(n454 / el454),
+        "knn_kernel_rows_per_sec": knn_rps,
+        # Arrow platform floor (VERDICT r3 #9): trivial pandas UDF with
+        # the probe's exact schema on the same input/child as assign_geo;
+        # assign_geo/floor_sec is the engine's distance from the floor
+        "floor_sec": floor_sec,
+        "hugeworld": huge,
         "scaling": {
             "pinned_cpus": True,
             "ladder_rows_per_sec": {str(c): round(v) for c, v in thr.items()},
@@ -324,19 +670,20 @@ def main() -> None:
             ),
             "paired_rounds": pair_rounds,
             "loadavg_32": loads32,
+            "kernel_only_2_8": kernel_only,
             "note": (
                 "each ladder step pinned (sched_setaffinity) to exactly N "
                 "host cores incl. JVM+Python workers; N->4N pair is 2->8 "
-                "(cluster-node regime); efficiency_2_to_8 = median of 3 "
-                "paired back-to-back (2,8) rounds (pairing cancels host-"
-                "load drift, median rejects a loaded round; per-round "
-                "ratios + bracketing loadavg in paired_rounds); 8->32 "
-                "shares one DRAM bus — kernel-only multiprocessing hits "
-                "the same cap (BASELINE.md)"
+                "(cluster-node regime); efficiency_2_to_8 = median of "
+                f"{PAIRED_ROUNDS} paired back-to-back (2,8) rounds "
+                "(pairing cancels host-load drift, median rejects loaded "
+                "rounds; per-round ratios + bracketing loadavg in "
+                "paired_rounds); 8->32 shares one DRAM bus — "
+                "kernel_only_2_8 shows the pure-kernel bound for the "
+                "same host"
             ),
         },
     }
-    spark.stop()
     print(json.dumps(result))
 
 
@@ -348,5 +695,19 @@ if __name__ == "__main__":
             else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
             int(sys.argv[4]) if len(sys.argv) > 4 else LADDER_REPLICATE,
         )
+    elif len(sys.argv) >= 3 and sys.argv[1] == "--queries-only":
+        _queries_only_child(
+            int(sys.argv[2]),
+            sys.argv[3] if len(sys.argv) > 3
+            else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+        )
+    elif len(sys.argv) >= 3 and sys.argv[1] == "--hugeworld-only":
+        _hugeworld_only_child(
+            int(sys.argv[2]),
+            sys.argv[3] if len(sys.argv) > 3
+            else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+        )
+    elif len(sys.argv) >= 3 and sys.argv[1] == "--kernel-ladder":
+        _kernel_ladder_child(int(sys.argv[2]))
     else:
         main()

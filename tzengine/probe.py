@@ -33,6 +33,7 @@ def probe_ranks(
     lats: np.ndarray,
     lons: np.ndarray,
     mode: str = "strict",
+    stats: dict | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Find all containing pieces per point.
 
@@ -44,6 +45,11 @@ def probe_ranks(
     strict mode raises ValueError on any out-of-region point (Q3 guard);
     pipeline mode marks them invalid and continues (per-partition violation
     accounting happens in the engine layer).
+
+    ``stats`` (optional dict) is filled with probe-path evidence:
+    n_candidates (point, entry) pairs and n_boundary_candidates (pairs
+    that took the exact boundary pass) — the bench uses this to report
+    the boundary-pass share at coastline vertex scale.
     """
     lats = np.asarray(lats, dtype=np.float64)
     lons = np.asarray(lons, dtype=np.float64)
@@ -156,6 +162,9 @@ def probe_ranks(
     # total vertex count (north_star boundary-cell design).
     confirmed = cand_int.copy()
     bsel = np.nonzero(~cand_int)[0]
+    if stats is not None:
+        stats["n_candidates"] = int(len(cand_int))
+        stats["n_boundary_candidates"] = int(len(bsel))
     if len(bsel):
         ents_all = cand_ent[bsel]
         k_all = (
