@@ -468,16 +468,22 @@ def q_knn_zones(spark, sf_dir):
 
 def _stage(spark, df, name: str):
     """Materialize a Spark-computed signature table to Parquet at a fixed
-    path and read it back, so the downstream pair-join runs over the
-    STAGED table and a DuckDB oracle can read the very same bytes
-    (VERDICT r3 #4/#5: the non-SQL-portable part — xxhash64 / pandas-UDF
-    signatures — stays pytest-pinned; the join logic that could silently
-    drop pairs becomes value-verified). Returns (staged_df, glob_path)."""
+    path so a DuckDB oracle can read the very same values the pair-join
+    consumes (VERDICT r3 #4/#5: the non-SQL-portable part — xxhash64 /
+    pandas-UDF signatures — stays pytest-pinned; the join logic that
+    could silently drop pairs becomes value-verified).
+
+    The returned DataFrame is the PERSISTED in-memory signature table:
+    the write fills the cache and the join reuses it, so staging costs
+    one small coalesced Parquet write over the unstaged pipeline (a
+    read-back would be equivalent — the computation is deterministic —
+    but slower). Returns (staged_df, glob_path)."""
     import tempfile
 
     path = os.path.join(tempfile.gettempdir(), "tz_stage_oracle", name)
-    df.write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path), f"{path}/*.parquet"
+    df = df.persist()
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    return df, f"{path}/*.parquet"
 
 
 def _stage_glob(name: str) -> str:

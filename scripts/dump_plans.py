@@ -141,6 +141,55 @@ def main() -> None:
         )
     )
 
+    # 6. asof_join: ONE exchange (the per-key carry window); the
+    # prereduce_right skew backstop adds a finer (key, ts) window first
+    from tzengine.functions import asof_join, range_join
+
+    left = spark.range(1000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("ts")
+    )
+    right = spark.range(500).select(
+        (F.col("id") % 7).alias("k"),
+        (F.col("id") * 2).alias("ts"),
+        F.col("id").cast("double").alias("v"),
+    )
+    sections.append(
+        (
+            "As-of join (union-tag + struct carry)",
+            "Exactly ONE Exchange on the key feeds the carry window — no "
+            "row-id self-join, no range explosion. Right rows with NULL "
+            "ts are filtered before the union (ASOF semantics). With "
+            "`prereduce_right=True` a FINER (key, ts) window first "
+            "reduces a dense right side to one winning row per (key, "
+            "ts) — the hot-key backstop trades one extra exchange for a "
+            "bounded per-key carry partition.",
+            formatted(asof_join(left, right, "k", tie_cols=["v"])),
+        )
+    )
+
+    # 7. range_join: hash equi-join on the derived bucket — NOT a
+    # broadcast-nested-loop theta join
+    ivs = spark.range(100).select(
+        F.col("id").alias("iid"),
+        (F.col("id") * 10.0).alias("lo"),
+        (F.col("id") * 10.0 + 15.0).alias("hi"),
+    )
+    pts = spark.range(1000).select(
+        F.col("id").alias("pid"), (F.col("id") * 1.0).alias("p")
+    )
+    sections.append(
+        (
+            "Range join (interval bucketing)",
+            "The join is a hash equi-join on the derived `__bucket` id "
+            "(SortMergeJoin/ShuffledHashJoin — crucially NOT "
+            "BroadcastNestedLoopJoin, which is what a naive theta join "
+            "plans to); the exact range predicate is a post-filter. With "
+            "`bucket_width=None` one cheap median aggregate derives the "
+            "width before planning.",
+            formatted(range_join(pts, ivs, "p", "lo", "hi", bucket_width=15.0)),
+        )
+    )
+
     out = ["# PLANS — physical-plan evidence (generated by scripts/dump_plans.py)\n"]
     out.append(
         "Regenerate after planner-relevant changes: "
