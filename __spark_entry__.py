@@ -466,6 +466,53 @@ def q_knn_zones(spark, sf_dir):
     )
 
 
+def q_knn_zones_planar(spark, sf_dir):
+    """kNN fallback operator VALUE-ORACLED end-to-end (round 4): the
+    planar_deg metric orders zones by the same planar kernel the
+    bit-exact distance_boundary_planar oracle mirrors AST-for-AST, so
+    the full (distance, rank) ordering is DuckDB-verifiable on the rect
+    world — the output is pure strings, floats only decide the order,
+    and both engines compute those doubles bit-identically. The
+    geodesic default stays rows-only (Vincenty is iterative, no SQL
+    analogue)."""
+    pts = _events_points(spark, sf_dir)
+    return (
+        _rect_engine(spark)
+        .knn_zones(pts, k=3, metric="planar_deg")
+        .select("event_id", F.concat_ws("|", "nearest_tzids").alias("knn_str"))
+        .orderBy("event_id")
+    )
+
+
+def _knn_planar_oracle_sql() -> str:
+    """Mirror of q_knn_zones_planar: per-piece distance = 0 when
+    contained (boundary-inclusive BETWEEN on the f32 grid) else the
+    bit-exact planar segment-distance AST; order by (dist, area rank)."""
+    ds = _rect_planar_dist_sql(4, 4, 5, 5)
+    db = _rect_planar_dist_sql(3, 3, 6, 6)
+    dfl = _rect_planar_dist_sql(0, 0, 10, 10)
+    return f"""
+        WITH pts AS (SELECT event_id,
+                            (event_id % 1987) / 200.0 AS lat,
+                            (event_id * 7 % 1993) / 200.0 AS lon
+                     FROM events),
+        d AS (SELECT event_id,
+                     CASE WHEN lat BETWEEN 4 AND 5 AND lon BETWEEN 4 AND 5
+                          THEN 0.0 ELSE {ds} END AS d0,
+                     CASE WHEN lat BETWEEN 3 AND 6 AND lon BETWEEN 3 AND 6
+                          THEN 0.0 ELSE {db} END AS d1,
+                     CASE WHEN lat BETWEEN 0 AND 10 AND lon BETWEEN 0 AND 10
+                          THEN 0.0 ELSE {dfl} END AS d2
+              FROM pts),
+        ex AS (
+          SELECT event_id, 'Zone/Small' AS z, d0 AS dist, 0 AS rk FROM d
+          UNION ALL SELECT event_id, 'Zone/Big', d1, 1 FROM d
+          UNION ALL SELECT event_id, 'Zone/Filler', d2, 2 FROM d)
+        SELECT event_id, string_agg(z, '|' ORDER BY dist, rk) AS knn_str
+        FROM ex GROUP BY event_id ORDER BY event_id
+    """
+
+
 def _stage(spark, df, name: str):
     """Materialize a Spark-computed signature table to Parquet at a fixed
     path so a DuckDB oracle can read the very same values the pair-join
@@ -1246,6 +1293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assign_full_world": q_assign_full_world,
         "assign_bigworld": q_assign_bigworld,
         "assign_region_scoped": q_assign_region_scoped,
+        "knn_zones_planar": q_knn_zones_planar,
         # stage-oracled (signature table staged to Parquet; the pair-join
         # over it is mirrored by DuckDB on the same file)
         "minhash_lsh": q_minhash_lsh,
@@ -1575,6 +1623,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _simhash_stage_oracle_sql(),
         "phash_neardup": _phash_stage_oracle_sql(),
         "embedding_neardup": _embedding_stage_oracle_sql(),
+        "knn_zones_planar": _knn_planar_oracle_sql(),
         "assign_bigworld": _bigworld_oracle_sql(),
         "assign_region_scoped": _region_scoped_oracle_sql(),
         "windowed_zone_counts": _windowed_zone_counts_oracle_sql(),

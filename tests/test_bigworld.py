@@ -352,3 +352,37 @@ def test_hugeworld_distributed_compile_parity(spark):
                   "ent_center", "ent_seg_off", "ent_seg_idx"]:
         np.testing.assert_array_equal(getattr(a, field), getattr(b, field),
                                       err_msg=field)
+
+
+def test_knn_planar_metric_matches_dense_planar_sweep(idx):
+    """metric='planar_deg' must equal the dense planar sweep exactly
+    (the SQL-oracle-able ordering; the driver value-verifies the same
+    ordering end-to-end via knn_zones_planar)."""
+    from tzengine import geom
+
+    rng = np.random.default_rng(17)
+    lats = rng.uniform(-60, 60, 48)
+    lons = rng.uniform(-60, 60, 48)
+    got = probe.knn_zones_batch(idx, lats, lons, k=3, metric="planar_deg")
+
+    pts = np.stack([lons, lats], axis=1)
+    dists = np.zeros((len(lats), idx.n_pieces))
+    for rank in range(idx.n_pieces):
+        rings = idx.piece_rings(rank)
+        inside = geom.contains_inclusive(pts, rings)
+        d = geom.planar_distance_from_boundary(pts, rings)
+        dists[:, rank] = np.where(inside, 0.0, d)
+    ranks = np.arange(idx.n_pieces)
+    expect = []
+    for i in range(len(lats)):
+        order = np.lexsort((ranks, dists[i]))
+        seen, names = set(), []
+        for r in order:
+            zid = idx.zone_ids[r]
+            if zid not in seen:
+                seen.add(zid)
+                names.append(zid)
+            if len(names) >= 3:
+                break
+        expect.append(names)
+    assert got == expect

@@ -496,10 +496,13 @@ class TzEngine:
         lat_col: str = "lat",
         lon_col: str = "lon",
         out_col: str = "nearest_tzids",
+        metric: str = "geodesic",
     ) -> DataFrame:
         """kNN fallback (north_star): zones ordered by boundary distance;
         contained zones are distance 0 and keep the area-rank order, so the
-        head agrees with getOverlappingTimeZones for covered points."""
+        head agrees with getOverlappingTimeZones for covered points.
+        ``metric``: "geodesic" (WGS84 meters, reference parity) or
+        "planar_deg" (planar degrees — SQL-oracle-able ordering)."""
         bc = self._bc
 
         @F.pandas_udf(T.ArrayType(T.StringType()))
@@ -510,6 +513,7 @@ class TzEngine:
                 lat.to_numpy(dtype=np.float64),
                 lon.to_numpy(dtype=np.float64),
                 k,
+                metric=metric,
             )
             return pd.Series(res)
 

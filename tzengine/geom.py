@@ -910,6 +910,38 @@ def bbox_geodesic_lower_bound_pairwise(
     )
 
 
+def bbox_planar_lower_bound(
+    lats: np.ndarray, lons: np.ndarray, boxes: np.ndarray
+) -> np.ndarray:
+    """(n, P) lower bound in planar DEGREES on the distance from each
+    point to anywhere inside/on each bbox — the planar-metric analogue
+    of :func:`bbox_geodesic_lower_bound` (point-to-rect distance; no
+    wrap, consistent with the pure-planar metric)."""
+    lats = np.asarray(lats, dtype=np.float64)[:, None]
+    lons = np.asarray(lons, dtype=np.float64)[:, None]
+    return _bbox_planar_lb_core(
+        lats, lons,
+        boxes[None, :, 0], boxes[None, :, 1],
+        boxes[None, :, 2], boxes[None, :, 3],
+    )
+
+
+def bbox_planar_lower_bound_pairwise(
+    lats: np.ndarray, lons: np.ndarray, boxes: np.ndarray
+) -> np.ndarray:
+    lats = np.asarray(lats, dtype=np.float64)
+    lons = np.asarray(lons, dtype=np.float64)
+    return _bbox_planar_lb_core(
+        lats, lons, boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    )
+
+
+def _bbox_planar_lb_core(lats, lons, lo_lon, lo_lat, hi_lon, hi_lat):
+    dx = np.maximum(np.maximum(lo_lon - lons, lons - hi_lon), 0.0)
+    dy = np.maximum(np.maximum(lo_lat - lats, lats - hi_lat), 0.0)
+    return np.sqrt(dx * dx + dy * dy)
+
+
 def _bbox_geo_lb_core(lats, lons, lo_lon, lo_lat, hi_lon, hi_lat):
     # minimizing |Δλ| over the box, WITH antimeridian wrap: 0 inside the
     # lon interval, else the smaller of the wrapped distances to the two

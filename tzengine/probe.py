@@ -431,6 +431,7 @@ def knn_zones_batch(
     return_stats: bool = False,
     group_size: int = KNN_GROUP_SIZE,
     eval_chunk: int | None = None,
+    metric: str = "geodesic",
 ):
     """kNN fallback ordering (north_star): zones ordered by boundary
     distance; pieces containing the point have distance 0 and tie-break by
@@ -462,7 +463,22 @@ def knn_zones_batch(
     is permanent-safe), and a point finishes when both its pool minimum
     and its next unexpanded group bound exceed kth. The only Python
     loop left in the hot path iterates over the UNIQUE PIECES evaluated
-    per round (the per-piece ring gather is inherent)."""
+    per round (the per-piece ring gather is inherent).
+
+    ``metric``: "geodesic" (WGS84 meters, reference parity — Vincenty,
+    legitimately non-SQL) or "planar_deg" (planar degrees; the same
+    kernel the bit-exact distance_boundary_planar oracle mirrors, which
+    makes the kNN ORDER value-verifiable by a SQL oracle)."""
+    if metric == "geodesic":
+        bound_outer = geom.bbox_geodesic_lower_bound
+        bound_pair = geom.bbox_geodesic_lower_bound_pairwise
+        dist_fn = geom.distance_from_boundary
+    elif metric == "planar_deg":
+        bound_outer = geom.bbox_planar_lower_bound
+        bound_pair = geom.bbox_planar_lower_bound_pairwise
+        dist_fn = geom.planar_distance_from_boundary
+    else:
+        raise ValueError(f"unknown metric: {metric!r}")
     lats = np.asarray(lats, dtype=np.float64)
     lons = np.asarray(lons, dtype=np.float64)
     pts = np.stack([lons, lats], axis=1)
@@ -474,7 +490,7 @@ def knn_zones_batch(
         out = [[] for _ in range(n)]
         return (out, 0) if return_stats else out
 
-    lb_g = geom.bbox_geodesic_lower_bound(lats, lons, gb)  # (n, P/64)
+    lb_g = bound_outer(lats, lons, gb)  # (n, P/64)
     order_g = np.argsort(lb_g, axis=1, kind="stable")
     sorted_gb = np.take_along_axis(lb_g, order_g, axis=1)
 
@@ -551,7 +567,7 @@ def knn_zones_batch(
             )
             ranks_e = flat_order[seg]
             rep_pt = np.repeat(pe, lens)
-            pb = geom.bbox_geodesic_lower_bound_pairwise(
+            pb = bound_pair(
                 lats[rep_pt], lons[rep_pt], idx.piece_bbox[ranks_e]
             )
             pool_pt = np.concatenate([pool_pt, rep_pt])
@@ -591,7 +607,7 @@ def knn_zones_batch(
                 rings = idx.piece_rings(r)
                 inside = geom.contains_inclusive(sub, rings)
                 dists[s:e] = np.where(
-                    inside, 0.0, geom.distance_from_boundary(sub, rings)
+                    inside, 0.0, dist_fn(sub, rings)
                 )
             n_eval += len(t_pt)
             acc_pt.append(t_pt)
