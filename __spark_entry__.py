@@ -524,10 +524,18 @@ def _stage(spark, df, name: str):
     the write fills the cache and the join reuses it, so staging costs
     one small coalesced Parquet write over the unstaged pipeline (a
     read-back would be equivalent — the computation is deterministic —
-    but slower). Returns (staged_df, glob_path)."""
+    but slower). Returns (staged_df, glob_path).
+
+    The path is keyed by THIS process's pid: queries() and oracle_sql()
+    run in one driver process, so the oracle reads the bytes its own
+    query staged, while a concurrently-running second harness (e.g. a
+    bench child) writes its own files instead of clobbering these
+    mid-compare."""
     import tempfile
 
-    path = os.path.join(tempfile.gettempdir(), "tz_stage_oracle", name)
+    path = os.path.join(
+        tempfile.gettempdir(), f"tz_stage_oracle_pid{os.getpid()}", name
+    )
     df = df.persist()
     df.coalesce(1).write.mode("overwrite").parquet(path)
     return df, f"{path}/*.parquet"
@@ -536,7 +544,10 @@ def _stage(spark, df, name: str):
 def _stage_glob(name: str) -> str:
     import tempfile
 
-    return os.path.join(tempfile.gettempdir(), "tz_stage_oracle", name, "*.parquet")
+    return os.path.join(
+        tempfile.gettempdir(), f"tz_stage_oracle_pid{os.getpid()}", name,
+        "*.parquet",
+    )
 
 
 def q_minhash_lsh(spark, sf_dir):

@@ -108,7 +108,10 @@ def _pin(cores: int) -> None:
     JVM, pyspark.daemon, UDF workers — inherits the budget) to the
     HIGHEST-numbered cores: cpu0 and neighbors concentrate kernel/IRQ
     work, which would bias small-N runs low. TZ_PIN_OFFSET shifts the
-    window down so two concurrent legs can occupy DISJOINT core sets."""
+    window down so two concurrent legs can occupy DISJOINT core sets
+    (callers must check the host has cores for both legs first — see
+    _host_supports_concurrent_pair; a window that would fall off the
+    bottom is clamped, losing disjointness)."""
     try:
         total = os.cpu_count() or cores
         off = int(os.environ.get("TZ_PIN_OFFSET", "0"))
@@ -116,6 +119,13 @@ def _pin(cores: int) -> None:
         os.sched_setaffinity(0, set(range(max(0, hi - cores), hi)))
     except (AttributeError, OSError, ValueError):
         pass  # non-Linux fallback: unpinned (over-reports low-N throughput)
+
+
+def _host_supports_concurrent_pair() -> bool:
+    """The concurrent (2, 8) ladder needs >=10 cores for disjoint pinned
+    sets (plus headroom for the parent); below that the legs would
+    silently share cores and the ratio would measure core contention."""
+    return (os.cpu_count() or 0) >= 12
 
 
 def _steal_sample() -> tuple[int, int] | None:
@@ -243,9 +253,10 @@ def floor_job(spark, pts, cores, n_timed: int = 5) -> float:
 def _assign_pinned(
     cores: int, sf_dir: str, replicate: int = LADDER_REPLICATE,
     with_floor: bool = False,
-) -> tuple[float, int, list[float], float | None]:
+) -> tuple[float, int, list[float], float | None, float | None]:
     """Run assign_job in a fresh child pinned to ``cores`` host cores.
-    Returns (best sec, rows, [loadavg_before, loadavg_after], floor sec)."""
+    Returns (best sec, rows, [loadavg_before, loadavg_after], floor sec,
+    steal_pct over the child's lifetime)."""
     args = ["--assign-only", str(cores), sf_dir, str(replicate)]
     if with_floor:
         args.append("--floor")
@@ -610,36 +621,68 @@ def main() -> None:
         cancels host drift better than back-to-back ever could. The
         8-leg finishes its timed runs while the 2-leg is still mid-
         flight, so any residual asymmetry FLATTERS the 2-leg and biases
-        the ratio conservatively down."""
+        the ratio conservatively down.
+
+        Hosts too small for disjoint sets (<12 cores) fall back to
+        sequential back-to-back legs, flagged concurrent=False."""
         nonlocal n_rows
+        if not _host_supports_concurrent_pair():
+            d2 = _run_child(["--assign-only", "2", sf_dir, str(LADDER_REPLICATE)])
+            d8 = _run_child(["--assign-only", "8", sf_dir, str(LADDER_REPLICATE)])
+            n_rows = d2["rows"]
+            t2, t8 = n_rows / d2["elapsed"], n_rows / d8["elapsed"]
+            pair_rounds.append(
+                {
+                    "rows_per_sec_2": round(t2),
+                    "rows_per_sec_8": round(t8),
+                    "efficiency": round(t8 / (4.0 * t2), 3),
+                    "concurrent": False,
+                    "loadavg": d2["loadavg"][:1] + d8["loadavg"][-1:],
+                    "steal_pct": max(
+                        d2.get("steal_pct") or 0, d8.get("steal_pct") or 0
+                    ),
+                }
+            )
+            return
         load0 = os.getloadavg()[0]
         st0 = _steal_sample()
         env2 = dict(os.environ, TZ_PIN_OFFSET="0")
         env8 = dict(os.environ, TZ_PIN_OFFSET="2", TZ_ASSIGN_NTIMED="18")
         cmd = [sys.executable, os.path.abspath(__file__), "--assign-only"]
-        p2 = subprocess.Popen(
-            cmd + ["2", sf_dir, str(LADDER_REPLICATE)],
-            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
-            text=True, env=env2,
-        )
-        p8 = subprocess.Popen(
-            cmd + ["8", sf_dir, str(LADDER_REPLICATE)],
-            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
-            text=True, env=env8,
-        )
-        o2, _ = p2.communicate(timeout=1800)
-        o8, _ = p8.communicate(timeout=1800)
+        procs = []
+        try:
+            p2 = subprocess.Popen(
+                cmd + ["2", sf_dir, str(LADDER_REPLICATE)],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True, env=env2,
+            )
+            procs.append(p2)
+            p8 = subprocess.Popen(
+                cmd + ["8", sf_dir, str(LADDER_REPLICATE)],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True, env=env8,
+            )
+            procs.append(p8)
+            o2, e2 = p2.communicate(timeout=1800)
+            o8, e8 = p8.communicate(timeout=1800)
+        except subprocess.TimeoutExpired:
+            for p in procs:  # kill BOTH legs — an orphaned pinned JVM
+                p.kill()     # would pollute every later measurement
+            raise
         load1 = os.getloadavg()[0]
         st1 = _steal_sample()
 
-        def _last_json(o, tag):
+        def _last_json(o, err, tag):
             for line in reversed(o.strip().splitlines()):
                 if line.startswith("{"):
                     return json.loads(line)
-            raise RuntimeError(f"ladder {tag}-core child produced no JSON")
+            raise RuntimeError(
+                f"ladder {tag}-core child produced no JSON:\n"
+                f"{o[-1500:]}\n{err[-1500:]}"
+            )
 
-        d2 = _last_json(o2, 2)
-        d8 = _last_json(o8, 8)
+        d2 = _last_json(o2, e2, 2)
+        d8 = _last_json(o8, e8, 8)
         n_rows = d2["rows"]
         t2, t8 = n_rows / d2["elapsed"], n_rows / d8["elapsed"]
         pair_rounds.append(
@@ -678,6 +721,11 @@ def main() -> None:
     eff_2_8 = _median_eff()  # median of ALL paired-round ratios
     thr[2] = max(r["rows_per_sec_2"] for r in pair_rounds)
     thr[8] = max(r["rows_per_sec_8"] for r in pair_rounds)
+    # one SOLO 8-core leg: the 8->32 ratio must not mix regimes (the
+    # concurrent thr[8] is measured sharing the bus with the 2-leg,
+    # which would inflate efficiency_8_to_32 vs a solo 32-core run)
+    d8s = _run_child(["--assign-only", "8", sf_dir, str(LADDER_REPLICATE)])
+    thr8_solo = d8s["rows"] / d8s["elapsed"]
     loads32 = []
     steals32 = []
     best_el32 = None
@@ -749,9 +797,10 @@ def main() -> None:
     except Exception as e:  # kernel evidence is supplementary
         kernel_only = {"error": str(e)[:200]}
 
+    # solo-vs-solo regimes on both ends (the concurrent thr[8] would
+    # inflate this ratio — its denominator shares the bus with the 2-leg)
     eff_mid_high = (
-        thr[cores] / ((cores / 8) * thr[8]) if 8 in thr and cores != 8
-        else None
+        thr[cores] / ((cores / 8) * thr8_solo) if cores != 8 else None
     )
 
     total = round(sum(queries.values()), 3)
@@ -786,6 +835,7 @@ def main() -> None:
         "scaling": {
             "pinned_cpus": True,
             "ladder_rows_per_sec": {str(c): round(v) for c, v in thr.items()},
+            "rows_per_sec_8_solo": round(thr8_solo),
             "ladder_replicate": LADDER_REPLICATE,
             "cores_low": 2,
             "cores_high": 8,

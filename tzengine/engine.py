@@ -503,6 +503,10 @@ class TzEngine:
         head agrees with getOverlappingTimeZones for covered points.
         ``metric``: "geodesic" (WGS84 meters, reference parity) or
         "planar_deg" (planar degrees — SQL-oracle-able ordering)."""
+        if metric not in ("geodesic", "planar_deg"):
+            # fail fast driver-side: a typo would otherwise surface as a
+            # wrapped executor PythonException on the first batch
+            raise ValueError(f"unknown metric: {metric!r}")
         bc = self._bc
 
         @F.pandas_udf(T.ArrayType(T.StringType()))

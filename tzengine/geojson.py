@@ -147,6 +147,10 @@ def zones_from_geojsonl(spark: SparkSession, path: str) -> DataFrame:
     # totals feed the ``dup_lines_dropped`` accumulator attached to the
     # returned DataFrame (read ``df.dup_lines_dropped.value`` after an
     # action), and each duplicated line logs an executor-side warning.
+    # Accumulator caveat (standard Spark transformation semantics):
+    # updates are at-least-once — evaluating the DataFrame twice (or a
+    # task retry) adds again, so read the counter after the FIRST action
+    # only; treat it as observability, not an exact ledger.
     lines = (
         spark.read.text(path)
         .filter("length(trim(value)) > 0")
