@@ -317,3 +317,46 @@ def test_b4_ring_overlaps_ring_even_odd_semantics():
     assert not geom.points_in_rings_evenodd(np.array([[3.0, 2.0]]), *segs)[0]
     # second-ring-only region: inside
     assert geom.points_in_rings_evenodd(np.array([[5.0, 2.0]]), *segs)[0]
+
+
+def test_segments_box_pairs_matches_dense_matrix_fuzz():
+    """The sparse grid-prescreened covering kernel must produce EXACTLY
+    the pairs of np.nonzero(segments_box_matrix(...)), row-major, on a
+    uniform aligned grid — including degenerate (point) segments and
+    segments lying exactly on cell boundaries."""
+    import numpy as np
+
+    from tzengine import geom
+
+    rng = np.random.default_rng(123)
+    for trial in range(40):
+        S = int(rng.integers(1, 150))
+        a = rng.uniform(-12, 12, (S, 2))
+        b = a + rng.normal(0, 1.2, (S, 2))
+        if trial % 4 == 0:
+            b[:: 3] = a[:: 3]  # degenerate point segments
+        if trial % 5 == 0:
+            a[:, 0] = np.round(a[:, 0])  # endpoints exactly on grid lines
+        w = float(rng.uniform(0.7, 4.0))
+        ix = rng.integers(0, 9, 50)
+        iy = rng.integers(0, 9, 50)
+        key = ix * 100 + iy
+        _, u = np.unique(key, return_index=True)
+        ix, iy = ix[u], iy[u]
+        boxes = np.stack(
+            [-12 + ix * w, -12 + iy * w, -12 + (ix + 1) * w, -12 + (iy + 1) * w],
+            axis=1,
+        )
+        r0, c0 = np.nonzero(geom.segments_box_matrix(a, b, boxes))
+        r1, c1 = geom.segments_box_pairs(a, b, boxes)
+        np.testing.assert_array_equal(r0, r1, err_msg=f"trial {trial} rows")
+        np.testing.assert_array_equal(c0, c1, err_msg=f"trial {trial} cols")
+
+    # non-uniform boxes take the dense fallback and still match
+    boxes = np.array([[0.0, 0.0, 1.0, 1.0], [2.0, 0.0, 5.0, 4.0]])
+    a = np.array([[0.5, 0.5], [3.0, -1.0]])
+    b = np.array([[0.5, 2.0], [3.0, 5.0]])
+    r0, c0 = np.nonzero(geom.segments_box_matrix(a, b, boxes))
+    r1, c1 = geom.segments_box_pairs(a, b, boxes)
+    np.testing.assert_array_equal(r0, r1)
+    np.testing.assert_array_equal(c0, c1)

@@ -150,3 +150,22 @@ def test_complete_table_rejects_different_input(spark, assigned, tmp_path):
     other = assigned.filter(F.col("zone_shard") < 10)
     with pytest.raises(ValueError, match="manifest mismatch"):
         tables.write_resumable(other, out)
+
+
+def test_pieces_to_df_arrow_path_row_identical(spark):
+    """The Arrow-native pieces_to_df must be row-identical (values AND
+    dtypes) to the historical nested-tuple row construction."""
+    from tzengine.bigworld import big_world
+    from tzengine.zones import (
+        ZONES_SCHEMA_DDL, pieces_to_df, pieces_to_rows, synthetic_world,
+    )
+
+    for world in (synthetic_world(), big_world(grid=4, verts=24)):
+        fast = pieces_to_df(spark, world)
+        slow = spark.createDataFrame(
+            pieces_to_rows(world), schema=ZONES_SCHEMA_DDL
+        )
+        assert fast.schema == slow.schema
+        a = fast.orderBy("ordinal").collect()
+        b = slow.orderBy("ordinal").collect()
+        assert a == b

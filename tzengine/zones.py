@@ -126,8 +126,66 @@ def pieces_to_rows(pieces: list[ZonePiece]) -> list[tuple]:
 
 def pieces_to_df(spark, pieces: list[ZonePiece]):
     """Zones table as a Spark DataFrame (bbox columns → Parquet min/max
-    stats give the reference's deserialize-free pruning, SURVEY §2.A B8)."""
-    return spark.createDataFrame(pieces_to_rows(pieces), schema=ZONES_SCHEMA_DDL)
+    stats give the reference's deserialize-free pruning, SURVEY §2.A B8).
+
+    Arrow-native construction: ring vertices go into one concatenated
+    float32 buffer with CSR list offsets — zero per-vertex Python — so a
+    1M-vertex coastline world builds in milliseconds instead of the
+    seconds the nested-tuple row path took (the per-value float32 casts
+    are exact: make_piece already snapped every vertex to the f32 grid).
+    Result is row-identical to the historical pieces_to_rows path
+    (asserted in tests)."""
+    import pyarrow as pa
+
+    if not pieces:
+        return spark.createDataFrame([], schema=ZONES_SCHEMA_DDL)
+
+    all_rings = [r for p in pieces for r in p.rings]
+    ring_counts = np.array([len(p.rings) for p in pieces], dtype=np.int64)
+    vert_counts = np.array([len(r) for r in all_rings], dtype=np.int64)
+    verts = (
+        np.concatenate(all_rings) if all_rings else np.zeros((0, 2))
+    )  # (V, 2) as (lon, lat)
+    struct_arr = pa.StructArray.from_arrays(
+        [
+            pa.array(verts[:, 1].astype(np.float32)),
+            pa.array(verts[:, 0].astype(np.float32)),
+        ],
+        ["lat", "lon"],
+    )
+    voffs = np.zeros(len(all_rings) + 1, dtype=np.int64)
+    np.cumsum(vert_counts, out=voffs[1:])
+    roffs = np.zeros(len(pieces) + 1, dtype=np.int64)
+    np.cumsum(ring_counts, out=roffs[1:])
+    if voffs[-1] > np.iinfo(np.int32).max:
+        raise ValueError(
+            f"pieces_to_df: {int(voffs[-1])} vertices exceed Arrow int32 "
+            "list-offset range (2^31-1); split the zone table"
+        )
+    ring_list = pa.ListArray.from_arrays(
+        pa.array(voffs.astype(np.int32)), struct_arr
+    )
+    rings_col = pa.ListArray.from_arrays(
+        pa.array(roffs.astype(np.int32)), ring_list
+    )
+    bb = np.array([p.bbox for p in pieces], dtype=np.float64)
+    table = pa.table(
+        {
+            "zone_id": pa.array([p.zone_id for p in pieces], pa.string()),
+            "polygon_id": pa.array(
+                np.array([p.polygon_id for p in pieces], dtype=np.int32)
+            ),
+            "ordinal": pa.array(
+                np.array([p.ordinal for p in pieces], dtype=np.int32)
+            ),
+            "rings": rings_col,
+            "min_lat": pa.array(bb[:, 1].astype(np.float32)),
+            "min_lon": pa.array(bb[:, 0].astype(np.float32)),
+            "max_lat": pa.array(bb[:, 3].astype(np.float32)),
+            "max_lon": pa.array(bb[:, 2].astype(np.float32)),
+        }
+    )
+    return spark.createDataFrame(table)
 
 
 def rows_to_pieces(rows) -> list[ZonePiece]:
