@@ -457,6 +457,171 @@ def q_distance_boundary(spark, sf_dir):
     )
 
 
+def q_distance_boundary_geodesic(spark, sf_dir):
+    """Q5's GEODESIC (WGS84 Vincenty) path value-oracled end-to-end
+    (round 4): the DuckDB oracle runs the full Vincenty inverse as a
+    49-step RECURSIVE CTE mirroring the kernel's fixed-iteration
+    variant (metric="geodesic_fixed" — deterministic pure-row function;
+    the adaptive per-row-freeze default would let trig-ulp differences
+    flip the freeze iteration across engines). Cross-engine agreement
+    measured at <= 5.2e-10 m over 10k points (sin/cos/sqrt are
+    bit-identical between numpy and DuckDB here; tan/atan/atan2 differ
+    by ulps), so the output is quantized to 0.1 mm integer units with
+    floor() — IEEE-exact in both engines, and 6-7 significant digits of
+    the geodesic chain verified by value."""
+    pts = _events_points(spark, sf_dir)
+    eng = _rect_engine(spark)
+    out = eng.assign_timezones(pts, mode="strict")
+    d = eng.distance_from_boundary(
+        out, mode="strict", metric="geodesic_fixed"
+    )
+    return d.select(
+        "event_id",
+        "tzid",
+        F.floor(F.col("boundary_dist_m") * 10000.0).alias("dist_tenthmm"),
+    ).orderBy("event_id")
+
+
+def _rect_nearest_foot_sql(lat0, lon0, lat1, lon1):
+    """(fx, fy) SQL exprs for the planar-nearest boundary coordinate of
+    one rect piece — same per-segment foot AST as _rect_planar_dist_sql,
+    with numpy-argmin FIRST-minimum tie-break mirrored as a sequential
+    CASE (branch i wins iff d_i <= every LATER d_j; an earlier equal
+    minimum would have matched its own earlier branch)."""
+    from tzengine import geom
+    from tzengine.zones import make_piece, _rect
+
+    piece = make_piece("Z", 0, 0, [_rect(lat0, lon0, lat1, lon1)])
+    seg_a, seg_b = geom._segments(piece.rings)
+    feet = []
+    for (ax, ay), (bx, by) in zip(seg_a, seg_b):
+        dx, dy = bx - ax, by - ay
+        len2 = dx * dx + dy * dy
+        t = (
+            f"least(greatest((((lon - {ax!r}) * {dx!r} "
+            f"+ (lat - {ay!r}) * {dy!r}) / {len2!r}), 0.0), 1.0)"
+        )
+        fx = f"({ax!r} + {t} * {dx!r})"
+        fy = f"({ay!r} + {t} * {dy!r})"
+        d2 = f"((lon - {fx}) * (lon - {fx}) + (lat - {fy}) * (lat - {fy}))"
+        feet.append((fx, fy, d2))
+    n = len(feet)
+
+    def casewhen(sel):
+        whens = []
+        for i in range(n - 1):
+            cond = " AND ".join(
+                f"{feet[i][2]} <= {feet[j][2]}" for j in range(i + 1, n)
+            )
+            whens.append(f"WHEN {cond} THEN {feet[i][sel]}")
+        return "CASE " + " ".join(whens) + f" ELSE {feet[n - 1][sel]} END"
+
+    return casewhen(0), casewhen(1)
+
+
+def _vincenty_geodesic_oracle_sql(iterations: int = 50) -> str:
+    """Recursive-CTE mirror of geom.geodesic_distance_wgs84
+    (freeze=False): ``iterations-1`` λ updates, then the iteration body
+    once more on the final λ (matching the numpy loop, whose post-loop
+    values come from the body evaluated on λ before its last update).
+    Every constant is the exact repr double the kernel uses; np.where
+    guards become CASE; the final distance is floor-quantized to 0.1 mm
+    units (see q_distance_boundary_geodesic)."""
+    import numpy as np
+
+    from tzengine import geom
+
+    A_, B_, F_ = geom.WGS84_A, geom.WGS84_B, geom.WGS84_F
+    DEG = np.deg2rad(1.0)
+    fx_s, fy_s = _rect_nearest_foot_sql(4, 4, 5, 5)
+    fx_b, fy_b = _rect_nearest_foot_sql(3, 3, 6, 6)
+    fx_f, fy_f = _rect_nearest_foot_sql(0, 0, 10, 10)
+    case_z = (
+        "CASE WHEN lat BETWEEN 4 AND 5 AND lon BETWEEN 4 AND 5 THEN 0 "
+        "WHEN lat BETWEEN 3 AND 6 AND lon BETWEEN 3 AND 6 THEN 1 ELSE 2 END"
+    )
+    fx = f"CASE z WHEN 0 THEN {fx_s} WHEN 1 THEN {fx_b} ELSE {fx_f} END"
+    fy = f"CASE z WHEN 0 THEN {fy_s} WHEN 1 THEN {fy_b} ELSE {fy_f} END"
+    tz = (
+        "CASE z WHEN 0 THEN 'Zone/Small' WHEN 1 THEN 'Zone/Big' "
+        "ELSE 'Zone/Filler' END"
+    )
+    body = """
+      SELECT *, CASE WHEN csa <> 0 THEN cs - 2.0 * sinU1 * sinU2 / csa
+                     ELSE 0.0 END AS c2m,
+                (FVAL / 16.0) * csa * (4.0 + FVAL * (4.0 - 3.0 * csa)) AS cc
+      FROM (
+        SELECT *, 1.0 - sa * sa AS csa
+        FROM (
+          SELECT *, CASE WHEN ss <> 0 THEN cosU1 * cosU2 * sl / ss
+                         ELSE 0.0 END AS sa
+          FROM (
+            SELECT *,
+              sqrt((cosU2 * sl) * (cosU2 * sl)
+                   + (cosU1 * sinU2 - sinU1 * cosU2 * clm)
+                     * (cosU1 * sinU2 - sinU1 * cosU2 * clm)) AS ss,
+              sinU1 * sinU2 + cosU1 * cosU2 * clm AS cs
+            FROM (SELECT *, sin(lam) AS sl, cos(lam) AS clm FROM SRC) q1
+          ) q2
+        ) q3
+      ) q4
+    """.replace("FVAL", repr(F_))
+    bpoly = (
+        "(u_sq / 1024.0 * (256.0 + u_sq * (-128.0 + u_sq "
+        "* (74.0 - 47.0 * u_sq))))"
+    )
+    return f"""
+        WITH RECURSIVE pts AS (
+          SELECT event_id,
+                 (event_id % 1987) / 200.0 AS lat,
+                 (event_id * 7 % 1993) / 200.0 AS lon
+          FROM events),
+        zoned AS (SELECT event_id, lat, lon, {case_z} AS z FROM pts),
+        base AS (SELECT event_id, lat, lon, z,
+                        {fx} AS fx2, {fy} AS fy2 FROM zoned),
+        ini AS (
+          SELECT event_id, z, (lat = fy2 AND lon = fx2) AS same,
+                 atan((1.0 - {F_!r}) * tan(lat * {DEG!r})) AS U1,
+                 atan((1.0 - {F_!r}) * tan(fy2 * {DEG!r})) AS U2,
+                 (fx2 - lon) * {DEG!r} AS L
+          FROM base),
+        c AS (
+          SELECT event_id, z, same, sin(U1) AS sinU1, cos(U1) AS cosU1,
+                 sin(U2) AS sinU2, cos(U2) AS cosU2, L FROM ini),
+        it AS (
+          SELECT event_id, z, same, sinU1, cosU1, sinU2, cosU2, L,
+                 L AS lam, 0 AS i FROM c
+          UNION ALL
+          SELECT event_id, z, same, sinU1, cosU1, sinU2, cosU2, L,
+                 L + (1.0 - cc) * {F_!r} * sa
+                   * (atan2(ss, cs) + cc * ss
+                      * (c2m + cc * cs * (-1.0 + 2.0 * c2m * c2m))) AS lam,
+                 i + 1
+          FROM ({body.replace("SRC", "it")}) stepped
+          WHERE i < {iterations - 1}
+        ),
+        fin AS ({body.replace(
+            "SRC", f"(SELECT * FROM it WHERE i = {iterations - 1}) last_it"
+        )}),
+        dist AS (
+          SELECT event_id, z, same, ss, cs, c2m, atan2(ss, cs) AS sg,
+                 csa * ({A_!r} * {A_!r} - {B_!r} * {B_!r})
+                   / ({B_!r} * {B_!r}) AS u_sq
+          FROM fin)
+        SELECT event_id, {tz} AS tzid,
+               CAST(floor((CASE WHEN same THEN 0.0 ELSE
+                 {B_!r} * (1.0 + u_sq / 16384.0 * (4096.0 + u_sq
+                   * (-768.0 + u_sq * (320.0 - 175.0 * u_sq))))
+                 * (sg - {bpoly} * ss * (c2m + {bpoly} / 4.0
+                    * (cs * (-1.0 + 2.0 * c2m * c2m)
+                       - {bpoly} / 6.0 * c2m
+                         * (-3.0 + 4.0 * ss * ss)
+                         * (-3.0 + 4.0 * c2m * c2m))))
+               END) * 10000.0) AS BIGINT) AS dist_tenthmm
+        FROM dist ORDER BY event_id
+    """
+
+
 def q_knn_zones(spark, sf_dir):
     pts = _events_points(spark, sf_dir).limit(200)
     return (
@@ -631,11 +796,22 @@ def q_ivf_topk(spark, sf_dir):
 
 
 def q_fingerprint(spark, sf_dir):
-    from tzengine.pipeline.text import fingerprint
+    """Document fingerprinting — STAGE-ORACLED (round 4): the xxhash64
+    gram-hash table (pytest-pinned computation) is staged to Parquet;
+    the winnowing aggregation (min over the gram-hash windows) plus the
+    exact-hash pass-through run over the STAGED table and DuckDB mirrors
+    them on the same file with list_min."""
+    from tzengine.pipeline.text import fingerprint_gram_hashes
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return fingerprint(d).select(
-        "doc_id", "fingerprint", "fingerprint_min_ngram"
+    sig = fingerprint_gram_hashes(d).select(
+        "doc_id", "fingerprint", "gram_hashes"
+    )
+    staged, _ = _stage(spark, sig, "fingerprint_grams")
+    return staged.select(
+        "doc_id",
+        "fingerprint",
+        F.array_min("gram_hashes").alias("fingerprint_min_ngram"),
     ).orderBy("doc_id")
 
 
@@ -1305,16 +1481,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assign_bigworld": q_assign_bigworld,
         "assign_region_scoped": q_assign_region_scoped,
         "knn_zones_planar": q_knn_zones_planar,
+        "distance_boundary_geodesic": q_distance_boundary_geodesic,
         # stage-oracled (signature table staged to Parquet; the pair-join
         # over it is mirrored by DuckDB on the same file)
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash,
         "embedding_neardup": q_embedding_neardup,
         "phash_neardup": q_phash_neardup,
+        "fingerprint": q_fingerprint,
         # rows-only (hash-seeded / geodesic / binary-payload)
         "distance_boundary": q_distance_boundary,
         "knn_zones": q_knn_zones,
-        "fingerprint": q_fingerprint,
         "image_features": q_image_features,
         "audio_features": q_audio_features,
         "video_frame_sample": q_video_frame_sample,
@@ -1635,6 +1812,13 @@ def oracle_sql() -> dict[str, str]:
         "phash_neardup": _phash_stage_oracle_sql(),
         "embedding_neardup": _embedding_stage_oracle_sql(),
         "knn_zones_planar": _knn_planar_oracle_sql(),
+        "distance_boundary_geodesic": _vincenty_geodesic_oracle_sql(),
+        "fingerprint": f"""
+            SELECT doc_id, fingerprint,
+                   list_min(gram_hashes) AS fingerprint_min_ngram
+            FROM read_parquet('{_stage_glob("fingerprint_grams")}')
+            ORDER BY doc_id
+        """,
         "assign_bigworld": _bigworld_oracle_sql(),
         "assign_region_scoped": _region_scoped_oracle_sql(),
         "windowed_zone_counts": _windowed_zone_counts_oracle_sql(),

@@ -360,3 +360,28 @@ def test_segments_box_pairs_matches_dense_matrix_fuzz():
     r1, c1 = geom.segments_box_pairs(a, b, boxes)
     np.testing.assert_array_equal(r0, r1)
     np.testing.assert_array_equal(c0, c1)
+
+
+def test_vincenty_per_row_freeze_is_batch_independent():
+    """Round 4 determinism fix: the geodesic distance must be a pure
+    function of the row — splitting a batch must not change any value
+    (the old batch-level convergence break made the last ~1e-13 of
+    lambda depend on the slowest row in the batch)."""
+    import numpy as np
+
+    from tzengine import geom
+
+    rng = np.random.default_rng(44)
+    lat1 = rng.uniform(-80, 80, 4000)
+    lon1 = rng.uniform(-179, 179, 4000)
+    lat2 = lat1 + rng.normal(0, 2.0, 4000)
+    lon2 = lon1 + rng.normal(0, 2.0, 4000)
+    full = geom.geodesic_distance_wgs84(lat1, lon1, lat2, lon2)
+    parts = np.concatenate([
+        geom.geodesic_distance_wgs84(lat1[:777], lon1[:777], lat2[:777], lon2[:777]),
+        geom.geodesic_distance_wgs84(lat1[777:], lon1[777:], lat2[777:], lon2[777:]),
+    ])
+    np.testing.assert_array_equal(full, parts)
+    # fixed-iteration variant: also pure, and ~identical to the frozen one
+    fixed = geom.geodesic_distance_wgs84(lat1, lon1, lat2, lon2, freeze=False)
+    np.testing.assert_allclose(fixed, full, rtol=0, atol=1e-5)

@@ -405,13 +405,30 @@ def nearest_boundary_point(pts: np.ndarray, rings: list[np.ndarray]) -> np.ndarr
 
 
 def geodesic_distance_wgs84(
-    lat1, lon1, lat2, lon2, iterations: int = 50
+    lat1, lon1, lat2, lon2, iterations: int = 50, freeze: bool = True
 ) -> np.ndarray:
     """Vectorized Vincenty inverse on the WGS84 ellipsoid, meters.
 
     Public algorithm (Vincenty 1975). Accuracy ~0.5 mm — inside the
     reference goldens' tolerances (TimeZoneTest.java:34-60, tightest
     ±0.001 m on ~111 m). Coincident points return exactly 0.0.
+
+    DETERMINISM (round 4): each row's λ freezes at ITS OWN convergence
+    (|Δλ| < 1e-13), so the result is a pure function of the row. The
+    previous batch-level break made the last ~1e-13 of λ depend on when
+    the slowest row in the batch converged — i.e. output varied with
+    batch composition/partitioning at the ~nanometer level. Per-row
+    freezing keeps the adaptive cost (the loop still exits once every
+    row is frozen) and lets a SQL oracle mirror the iteration exactly
+    (each row's final value is body(λ_final) no matter when the batch
+    loop stops).
+
+    ``freeze=False`` runs the FIXED iteration count with no convergence
+    logic at all — equally deterministic, ~ulp-identical results, and
+    the variant a SQL oracle mirrors most tightly (the freeze threshold
+    comparison can flip iteration counts across engines when |Δλ| lands
+    within trig-ulp distance of 1e-13; without freezing, both engines
+    run the same 50 iterations and agree to ~5e-10 m).
     """
     lat1 = np.atleast_1d(np.asarray(lat1, dtype=np.float64))
     lon1 = np.atleast_1d(np.asarray(lon1, dtype=np.float64))
@@ -433,6 +450,7 @@ def geodesic_distance_wgs84(
     sigma = np.zeros_like(L)
     cos_sq_alpha = np.ones_like(L)
     cos2sigma_m = np.zeros_like(L)
+    done = np.zeros(L.shape, dtype=bool)
 
     for _ in range(iterations):
         sin_lam, cos_lam = np.sin(lam), np.cos(lam)
@@ -459,10 +477,17 @@ def geodesic_distance_wgs84(
             * sin_sigma
             * (cos2sigma_m + C * cos_sigma * (-1.0 + 2.0 * cos2sigma_m**2))
         )
-        if np.all(np.abs(lam_new - lam) < 1e-13):
+        if not freeze:
             lam = lam_new
+            continue
+        # per-row freeze: a converged row keeps ITS λ; the batch loop may
+        # exit once everyone froze (further iterations recompute identical
+        # values for frozen rows, so the break changes nothing)
+        newly = np.abs(lam_new - lam) < 1e-13
+        lam = np.where(done, lam, lam_new)
+        done |= newly
+        if done.all():
             break
-        lam = lam_new
 
     u_sq = cos_sq_alpha * (a**2 - b**2) / b**2
     A = 1.0 + u_sq / 16384.0 * (4096.0 + u_sq * (-768.0 + u_sq * (320.0 - 175.0 * u_sq)))
@@ -489,15 +514,17 @@ def geodesic_distance_wgs84(
 
 
 def distance_from_boundary(
-    pts: np.ndarray, rings: list[np.ndarray]
+    pts: np.ndarray, rings: list[np.ndarray], freeze: bool = True
 ) -> np.ndarray:
     """Distance (meters) from each point to the planar-nearest boundary
     coordinate, geodesic on WGS84 — TimeZone.kt:41-47 semantics. Does NOT
     enforce the inside-guard; callers check `contains_inclusive` first
-    (TimeZone.kt:43)."""
+    (TimeZone.kt:43). ``freeze`` → geodesic_distance_wgs84."""
     pts = np.atleast_2d(np.asarray(pts, dtype=np.float64))
     nearest = nearest_boundary_point(pts, rings)
-    return geodesic_distance_wgs84(pts[:, 1], pts[:, 0], nearest[:, 1], nearest[:, 0])
+    return geodesic_distance_wgs84(
+        pts[:, 1], pts[:, 0], nearest[:, 1], nearest[:, 0], freeze=freeze
+    )
 
 
 def planar_distance_from_boundary(

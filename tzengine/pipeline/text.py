@@ -84,10 +84,14 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def fingerprint(df: DataFrame, text_col: str = "text", n: int = 5) -> DataFrame:
-    """Document fingerprint: xxhash64 of the normalized text (exact) plus
-    a winnowing-style robust fingerprint = min xxhash64 over character
-    n-gram windows of the normalized text (stable under small edits)."""
+def fingerprint_gram_hashes(
+    df: DataFrame, text_col: str = "text", n: int = 5
+) -> DataFrame:
+    """Signature stage of :func:`fingerprint`: the exact-hash column plus
+    the full array of char n-gram xxhash64 values (before the winnowing
+    min) as ``gram_hashes`` — split out so the hash table can be staged
+    to Parquet and the winnowing aggregation mirrored by a SQL oracle
+    (the hash computation itself is xxhash64, pytest-pinned)."""
     norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
     exact_fp = F.xxhash64(norm)
     # char n-grams via substring over an index sequence (JVM-side)
@@ -95,10 +99,18 @@ def fingerprint(df: DataFrame, text_col: str = "text", n: int = 5) -> DataFrame:
         F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1))
     )
     grams = F.transform(idx, lambda i: norm.substr(i, F.lit(n)))
-    robust_fp = F.array_min(F.transform(grams, lambda g: F.xxhash64(g)))
     return df.withColumn("fingerprint", exact_fp).withColumn(
-        "fingerprint_min_ngram", robust_fp
+        "gram_hashes", F.transform(grams, lambda g: F.xxhash64(g))
     )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", n: int = 5) -> DataFrame:
+    """Document fingerprint: xxhash64 of the normalized text (exact) plus
+    a winnowing-style robust fingerprint = min xxhash64 over character
+    n-gram windows of the normalized text (stable under small edits)."""
+    return fingerprint_gram_hashes(df, text_col, n).withColumn(
+        "fingerprint_min_ngram", F.array_min("gram_hashes")
+    ).drop("gram_hashes")
 
 
 def length_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

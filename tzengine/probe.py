@@ -374,8 +374,17 @@ def distance_from_boundary_batch(
                 hp = np.stack([lons[hit], lats[hit]], axis=1)
                 if metric == "planar_deg":
                     out[hit] = geom.planar_distance_from_boundary(hp, rings)
-                else:
+                elif metric == "geodesic_fixed":
+                    # fixed-iteration Vincenty (no convergence freeze):
+                    # the variant the recursive-CTE SQL oracle mirrors
+                    # most tightly (~5e-10 m) — see geodesic_distance_wgs84
+                    out[hit] = geom.distance_from_boundary(
+                        hp, rings, freeze=False
+                    )
+                elif metric == "geodesic":
                     out[hit] = geom.distance_from_boundary(hp, rings)
+                else:
+                    raise ValueError(f"unknown metric: {metric!r}")
                 resolved[hit] = True
             sel = sel[~inside]
     if mode == "strict" and not np.all(resolved | np.equal(zarr, None)):
