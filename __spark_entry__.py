@@ -449,12 +449,75 @@ def q_distance_boundary_planar(spark, sf_dir):
 
 
 def q_distance_boundary(spark, sf_dir):
-    pts = _events_points(spark, sf_dir).limit(500)
+    """Q5 geodesic on the FULL synthetic world — VALUE-ORACLED (round
+    4): zone selection exercises holes/islands (SquareIsland), the
+    MultiPolygon zone, enclave-in-host, and overlap ordering; the DuckDB
+    oracle picks the first containing piece with the even-odd boundary-
+    inclusive predicates, mirrors the nearest-foot argmin over ALL of
+    that piece's segments (clip/hole edges count), and runs the full
+    recursive-CTE Vincenty chain. metric='geodesic_fixed' + floor 0.1 mm
+    quantization as in distance_boundary_geodesic. Raw-meter output
+    remains pinned by the ±1 mm reference goldens in test_geom.py."""
+    pts = _events_points(spark, sf_dir)
     eng = _engine(spark)
     out = eng.assign_timezones(pts, mode="strict")
-    return eng.distance_from_boundary(out).select(
-        "event_id", "tzid", "boundary_dist_m"
+    d = eng.distance_from_boundary(
+        out, mode="strict", metric="geodesic_fixed"
     )
+    return d.select(
+        "event_id",
+        "tzid",
+        F.floor(F.col("boundary_dist_m") * 10000.0).alias("dist_tenthmm"),
+    ).orderBy("event_id")
+
+
+def _world_distance_oracle_sql(iterations: int = 50) -> str:
+    """Synthetic-world Q5 geodesic mirror: first-containing-piece CASE
+    (rank order) -> that piece's nearest-foot argmin -> Vincenty chain."""
+    from tzengine.zones import synthetic_world
+
+    pieces = sorted(synthetic_world(), key=lambda p: (p.area2d, p.ordinal))
+    preds = _full_world_contains_sql()  # same rank order
+    pr_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN {pred} THEN {i}" for i, (_z, pred) in enumerate(preds)
+        )
+        + " END"
+    )
+    feet = [_piece_nearest_foot_sql(p) for p in pieces]
+    fx = (
+        "CASE pr "
+        + " ".join(f"WHEN {i} THEN {fx_i}" for i, (fx_i, _) in enumerate(feet))
+        + " END"
+    )
+    fy = (
+        "CASE pr "
+        + " ".join(f"WHEN {i} THEN {fy_i}" for i, (_, fy_i) in enumerate(feet))
+        + " END"
+    )
+    tz = (
+        "CASE pr "
+        + " ".join(
+            f"WHEN {i} THEN '{z}'" for i, (z, _p) in enumerate(preds)
+        )
+        + " END"
+    )
+    return f"""
+        WITH RECURSIVE pts AS (
+          SELECT event_id,
+                 (event_id % 1987) / 200.0 AS lat,
+                 (event_id * 7 % 1993) / 200.0 AS lon
+          FROM events),
+        zoned AS (SELECT event_id, lat, lon, {pr_case} AS pr FROM pts),
+        vbase AS (SELECT event_id, pr, lat, lon,
+                         {fx} AS fx2, {fy} AS fy2 FROM zoned),
+        {_vincenty_chain_sql("event_id, pr", iterations)}
+        SELECT event_id, {tz} AS tzid,
+               CAST(floor({_vincenty_dist_expr()} * 10000.0) AS BIGINT)
+                 AS dist_tenthmm
+        FROM vdist ORDER BY event_id
+    """
 
 
 def q_distance_boundary_geodesic(spark, sf_dir):
@@ -483,15 +546,23 @@ def q_distance_boundary_geodesic(spark, sf_dir):
 
 
 def _rect_nearest_foot_sql(lat0, lon0, lat1, lon1):
-    """(fx, fy) SQL exprs for the planar-nearest boundary coordinate of
-    one rect piece — same per-segment foot AST as _rect_planar_dist_sql,
-    with numpy-argmin FIRST-minimum tie-break mirrored as a sequential
-    CASE (branch i wins iff d_i <= every LATER d_j; an earlier equal
-    minimum would have matched its own earlier branch)."""
-    from tzengine import geom
     from tzengine.zones import make_piece, _rect
 
-    piece = make_piece("Z", 0, 0, [_rect(lat0, lon0, lat1, lon1)])
+    return _piece_nearest_foot_sql(
+        make_piece("Z", 0, 0, [_rect(lat0, lon0, lat1, lon1)])
+    )
+
+
+def _piece_nearest_foot_sql(piece):
+    """(fx, fy) SQL exprs for the planar-nearest boundary coordinate of
+    one zone piece (ANY ring count — holes/islands contribute segments
+    too, TimeZone.kt:26-28) — same per-segment foot AST as
+    _rect_planar_dist_sql, with numpy-argmin FIRST-minimum tie-break
+    mirrored as a sequential CASE (branch i wins iff d_i <= every LATER
+    d_j; an earlier equal minimum would have matched its own earlier
+    branch)."""
+    from tzengine import geom
+
     seg_a, seg_b = geom._segments(piece.rings)
     feet = []
     for (ax, ay), (bx, by) in zip(seg_a, seg_b):
@@ -519,33 +590,23 @@ def _rect_nearest_foot_sql(lat0, lon0, lat1, lon1):
     return casewhen(0), casewhen(1)
 
 
-def _vincenty_geodesic_oracle_sql(iterations: int = 50) -> str:
+def _vincenty_chain_sql(keys: str, iterations: int = 50) -> str:
     """Recursive-CTE mirror of geom.geodesic_distance_wgs84
     (freeze=False): ``iterations-1`` λ updates, then the iteration body
     once more on the final λ (matching the numpy loop, whose post-loop
     values come from the body evaluated on λ before its last update).
     Every constant is the exact repr double the kernel uses; np.where
-    guards become CASE; the final distance is floor-quantized to 0.1 mm
-    units (see q_distance_boundary_geodesic)."""
+    guards become CASE.
+
+    Expects a CTE named ``vbase`` with columns ``{keys}, lat, lon, fx2,
+    fy2`` and emits CTEs ending in ``vdist`` with ``{keys}, same, ss,
+    cs, c2m, sg, u_sq`` — feed those to _vincenty_dist_expr()."""
     import numpy as np
 
     from tzengine import geom
 
     A_, B_, F_ = geom.WGS84_A, geom.WGS84_B, geom.WGS84_F
     DEG = np.deg2rad(1.0)
-    fx_s, fy_s = _rect_nearest_foot_sql(4, 4, 5, 5)
-    fx_b, fy_b = _rect_nearest_foot_sql(3, 3, 6, 6)
-    fx_f, fy_f = _rect_nearest_foot_sql(0, 0, 10, 10)
-    case_z = (
-        "CASE WHEN lat BETWEEN 4 AND 5 AND lon BETWEEN 4 AND 5 THEN 0 "
-        "WHEN lat BETWEEN 3 AND 6 AND lon BETWEEN 3 AND 6 THEN 1 ELSE 2 END"
-    )
-    fx = f"CASE z WHEN 0 THEN {fx_s} WHEN 1 THEN {fx_b} ELSE {fx_f} END"
-    fy = f"CASE z WHEN 0 THEN {fy_s} WHEN 1 THEN {fy_b} ELSE {fy_f} END"
-    tz = (
-        "CASE z WHEN 0 THEN 'Zone/Small' WHEN 1 THEN 'Zone/Big' "
-        "ELSE 'Zone/Filler' END"
-    )
     body = """
       SELECT *, CASE WHEN csa <> 0 THEN cs - 2.0 * sinU1 * sinU2 / csa
                      ELSE 0.0 END AS c2m,
@@ -566,9 +627,75 @@ def _vincenty_geodesic_oracle_sql(iterations: int = 50) -> str:
         ) q3
       ) q4
     """.replace("FVAL", repr(F_))
+    return f"""
+        vini AS (
+          SELECT {keys}, (lat = fy2 AND lon = fx2) AS same,
+                 atan((1.0 - {F_!r}) * tan(lat * {DEG!r})) AS U1,
+                 atan((1.0 - {F_!r}) * tan(fy2 * {DEG!r})) AS U2,
+                 (fx2 - lon) * {DEG!r} AS L
+          FROM vbase),
+        vc AS (
+          SELECT {keys}, same, sin(U1) AS sinU1, cos(U1) AS cosU1,
+                 sin(U2) AS sinU2, cos(U2) AS cosU2, L FROM vini),
+        vit AS (
+          SELECT {keys}, same, sinU1, cosU1, sinU2, cosU2, L,
+                 L AS lam, 0 AS i FROM vc
+          UNION ALL
+          SELECT {keys}, same, sinU1, cosU1, sinU2, cosU2, L,
+                 L + (1.0 - cc) * {F_!r} * sa
+                   * (atan2(ss, cs) + cc * ss
+                      * (c2m + cc * cs * (-1.0 + 2.0 * c2m * c2m))) AS lam,
+                 i + 1
+          FROM ({body.replace("SRC", "vit")}) stepped
+          WHERE i < {iterations - 1}
+        ),
+        vfin AS ({body.replace(
+            "SRC", f"(SELECT * FROM vit WHERE i = {iterations - 1}) last_it"
+        )}),
+        vdist AS (
+          SELECT {keys}, same, ss, cs, c2m, atan2(ss, cs) AS sg,
+                 csa * ({A_!r} * {A_!r} - {B_!r} * {B_!r})
+                   / ({B_!r} * {B_!r}) AS u_sq
+          FROM vfin)
+    """
+
+
+def _vincenty_dist_expr() -> str:
+    """Final Vincenty distance (meters, DOUBLE) over vdist's columns."""
+    from tzengine import geom
+
+    B_ = geom.WGS84_B
     bpoly = (
         "(u_sq / 1024.0 * (256.0 + u_sq * (-128.0 + u_sq "
         "* (74.0 - 47.0 * u_sq))))"
+    )
+    return f"""(CASE WHEN same THEN 0.0 ELSE
+                 {B_!r} * (1.0 + u_sq / 16384.0 * (4096.0 + u_sq
+                   * (-768.0 + u_sq * (320.0 - 175.0 * u_sq))))
+                 * (sg - {bpoly} * ss * (c2m + {bpoly} / 4.0
+                    * (cs * (-1.0 + 2.0 * c2m * c2m)
+                       - {bpoly} / 6.0 * c2m
+                         * (-3.0 + 4.0 * ss * ss)
+                         * (-3.0 + 4.0 * c2m * c2m))))
+               END)"""
+
+
+def _vincenty_geodesic_oracle_sql(iterations: int = 50) -> str:
+    """Rect-world Q5 geodesic oracle: nearest-foot CASE + the recursive
+    Vincenty chain, floor-quantized to 0.1 mm units (see
+    q_distance_boundary_geodesic)."""
+    fx_s, fy_s = _rect_nearest_foot_sql(4, 4, 5, 5)
+    fx_b, fy_b = _rect_nearest_foot_sql(3, 3, 6, 6)
+    fx_f, fy_f = _rect_nearest_foot_sql(0, 0, 10, 10)
+    case_z = (
+        "CASE WHEN lat BETWEEN 4 AND 5 AND lon BETWEEN 4 AND 5 THEN 0 "
+        "WHEN lat BETWEEN 3 AND 6 AND lon BETWEEN 3 AND 6 THEN 1 ELSE 2 END"
+    )
+    fx = f"CASE z WHEN 0 THEN {fx_s} WHEN 1 THEN {fx_b} ELSE {fx_f} END"
+    fy = f"CASE z WHEN 0 THEN {fy_s} WHEN 1 THEN {fy_b} ELSE {fy_f} END"
+    tz = (
+        "CASE z WHEN 0 THEN 'Zone/Small' WHEN 1 THEN 'Zone/Big' "
+        "ELSE 'Zone/Filler' END"
     )
     return f"""
         WITH RECURSIVE pts AS (
@@ -577,58 +704,98 @@ def _vincenty_geodesic_oracle_sql(iterations: int = 50) -> str:
                  (event_id * 7 % 1993) / 200.0 AS lon
           FROM events),
         zoned AS (SELECT event_id, lat, lon, {case_z} AS z FROM pts),
-        base AS (SELECT event_id, lat, lon, z,
-                        {fx} AS fx2, {fy} AS fy2 FROM zoned),
-        ini AS (
-          SELECT event_id, z, (lat = fy2 AND lon = fx2) AS same,
-                 atan((1.0 - {F_!r}) * tan(lat * {DEG!r})) AS U1,
-                 atan((1.0 - {F_!r}) * tan(fy2 * {DEG!r})) AS U2,
-                 (fx2 - lon) * {DEG!r} AS L
-          FROM base),
-        c AS (
-          SELECT event_id, z, same, sin(U1) AS sinU1, cos(U1) AS cosU1,
-                 sin(U2) AS sinU2, cos(U2) AS cosU2, L FROM ini),
-        it AS (
-          SELECT event_id, z, same, sinU1, cosU1, sinU2, cosU2, L,
-                 L AS lam, 0 AS i FROM c
-          UNION ALL
-          SELECT event_id, z, same, sinU1, cosU1, sinU2, cosU2, L,
-                 L + (1.0 - cc) * {F_!r} * sa
-                   * (atan2(ss, cs) + cc * ss
-                      * (c2m + cc * cs * (-1.0 + 2.0 * c2m * c2m))) AS lam,
-                 i + 1
-          FROM ({body.replace("SRC", "it")}) stepped
-          WHERE i < {iterations - 1}
-        ),
-        fin AS ({body.replace(
-            "SRC", f"(SELECT * FROM it WHERE i = {iterations - 1}) last_it"
-        )}),
-        dist AS (
-          SELECT event_id, z, same, ss, cs, c2m, atan2(ss, cs) AS sg,
-                 csa * ({A_!r} * {A_!r} - {B_!r} * {B_!r})
-                   / ({B_!r} * {B_!r}) AS u_sq
-          FROM fin)
+        vbase AS (SELECT event_id, z, lat, lon,
+                         {fx} AS fx2, {fy} AS fy2 FROM zoned),
+        {_vincenty_chain_sql("event_id, z", iterations)}
         SELECT event_id, {tz} AS tzid,
-               CAST(floor((CASE WHEN same THEN 0.0 ELSE
-                 {B_!r} * (1.0 + u_sq / 16384.0 * (4096.0 + u_sq
-                   * (-768.0 + u_sq * (320.0 - 175.0 * u_sq))))
-                 * (sg - {bpoly} * ss * (c2m + {bpoly} / 4.0
-                    * (cs * (-1.0 + 2.0 * c2m * c2m)
-                       - {bpoly} / 6.0 * c2m
-                         * (-3.0 + 4.0 * ss * ss)
-                         * (-3.0 + 4.0 * c2m * c2m))))
-               END) * 10000.0) AS BIGINT) AS dist_tenthmm
-        FROM dist ORDER BY event_id
+               CAST(floor({_vincenty_dist_expr()} * 10000.0) AS BIGINT)
+                 AS dist_tenthmm
+        FROM vdist ORDER BY event_id
     """
 
 
 def q_knn_zones(spark, sf_dir):
-    pts = _events_points(spark, sf_dir).limit(200)
+    """kNN fallback with the GEODESIC metric — VALUE-ORACLED (round 4):
+    the DuckDB oracle computes every (point, piece) boundary distance
+    (0 when contained, else nearest-foot argmin + the recursive-CTE
+    Vincenty chain), reduces to the best (distance, rank) per zone
+    (nearest piece wins — the MultiPolygon zone exercises this), and
+    takes the top-3 zones by (distance, rank) — exactly the dense
+    semantics the pruned kNN is pytest-pinned against. Deterministic
+    event_id<200 subset (limit() is order-dependent);
+    metric='geodesic_fixed' for cross-engine iteration parity. String
+    output: floats only decide the order, and inter-zone distance gaps
+    (meters) dwarf the ~5e-10 m cross-engine jitter."""
+    pts = _events_points(spark, sf_dir).filter(F.col("event_id") < 200)
     return (
         _engine(spark)
-        .knn_zones(pts, k=3)
+        .knn_zones(pts, k=3, metric="geodesic_fixed")
         .select("event_id", F.concat_ws("|", "nearest_tzids").alias("knn_str"))
+        .orderBy("event_id")
     )
+
+
+def _world_knn_oracle_sql(iterations: int = 50) -> str:
+    """kNN mirror: per (point, piece) distance via the Vincenty chain
+    (or 0 when the even-odd predicate contains the point), per-zone best
+    by (d, rank), zones ordered by (d, rank), top 3 concatenated."""
+    from tzengine.zones import synthetic_world
+
+    pieces = sorted(synthetic_world(), key=lambda p: (p.area2d, p.ordinal))
+    preds = _full_world_contains_sql()
+    n = len(pieces)
+    feet = [_piece_nearest_foot_sql(p) for p in pieces]
+    fx = (
+        "CASE pr "
+        + " ".join(f"WHEN {i} THEN {fx_i}" for i, (fx_i, _) in enumerate(feet))
+        + " END"
+    )
+    fy = (
+        "CASE pr "
+        + " ".join(f"WHEN {i} THEN {fy_i}" for i, (_, fy_i) in enumerate(feet))
+        + " END"
+    )
+    inz = (
+        "CASE pr "
+        + " ".join(f"WHEN {i} THEN {pred}" for i, (_z, pred) in enumerate(preds))
+        + " END"
+    )
+    tz = (
+        "CASE pr "
+        + " ".join(f"WHEN {i} THEN '{z}'" for i, (z, _p) in enumerate(preds))
+        + " END"
+    )
+    return f"""
+        WITH RECURSIVE pts AS (
+          SELECT event_id,
+                 (event_id % 1987) / 200.0 AS lat,
+                 (event_id * 7 % 1993) / 200.0 AS lon
+          FROM events WHERE event_id < 200),
+        cand AS (
+          SELECT event_id, lat, lon, CAST(t.pr AS INT) AS pr
+          FROM pts, range(0, {n}) t(pr)),
+        vbase AS (SELECT event_id, pr, lat, lon, {inz} AS inz,
+                         {fx} AS fx2, {fy} AS fy2 FROM cand),
+        {_vincenty_chain_sql("event_id, pr, inz", iterations)}
+        , pd AS (
+          SELECT event_id, pr, {tz} AS zname,
+                 CASE WHEN inz THEN 0.0 ELSE {_vincenty_dist_expr()} END AS d
+          FROM vdist),
+        zbest AS (
+          SELECT event_id, zname, d, pr,
+                 row_number() OVER (PARTITION BY event_id, zname
+                                    ORDER BY d, pr) AS zr
+          FROM pd),
+        ranked AS (
+          SELECT event_id, zname, d, pr,
+                 row_number() OVER (PARTITION BY event_id
+                                    ORDER BY d, pr) AS rk
+          FROM zbest WHERE zr = 1)
+        SELECT event_id,
+               string_agg(zname, '|' ORDER BY rk) AS knn_str
+        FROM ranked WHERE rk <= 3
+        GROUP BY event_id ORDER BY event_id
+    """
 
 
 def q_knn_zones_planar(spark, sf_dir):
@@ -1813,6 +1980,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _embedding_stage_oracle_sql(),
         "knn_zones_planar": _knn_planar_oracle_sql(),
         "distance_boundary_geodesic": _vincenty_geodesic_oracle_sql(),
+        "distance_boundary": _world_distance_oracle_sql(),
+        "knn_zones": _world_knn_oracle_sql(),
         "fingerprint": f"""
             SELECT doc_id, fingerprint,
                    list_min(gram_hashes) AS fingerprint_min_ngram

@@ -501,9 +501,11 @@ class TzEngine:
         """kNN fallback (north_star): zones ordered by boundary distance;
         contained zones are distance 0 and keep the area-rank order, so the
         head agrees with getOverlappingTimeZones for covered points.
-        ``metric``: "geodesic" (WGS84 meters, reference parity) or
-        "planar_deg" (planar degrees — SQL-oracle-able ordering)."""
-        if metric not in ("geodesic", "planar_deg"):
+        ``metric``: "geodesic" (WGS84 meters, reference parity),
+        "geodesic_fixed" (fixed-iteration Vincenty — the SQL-oracle-
+        tight deterministic variant), or "planar_deg" (planar degrees —
+        bit-exact SQL-oracle-able ordering)."""
+        if metric not in ("geodesic", "geodesic_fixed", "planar_deg"):
             # fail fast driver-side: a typo would otherwise surface as a
             # wrapped executor PythonException on the first batch
             raise ValueError(f"unknown metric: {metric!r}")

@@ -496,6 +496,12 @@ def knn_zones_batch(
         bound_outer = geom.bbox_geodesic_lower_bound
         bound_pair = geom.bbox_geodesic_lower_bound_pairwise
         dist_fn = geom.distance_from_boundary
+    elif metric == "geodesic_fixed":
+        # fixed-iteration Vincenty (no per-row freeze): same geodesic
+        # bounds; the SQL-oracle-tight variant (see geodesic_distance_wgs84)
+        bound_outer = geom.bbox_geodesic_lower_bound
+        bound_pair = geom.bbox_geodesic_lower_bound_pairwise
+        dist_fn = lambda p, r: geom.distance_from_boundary(p, r, freeze=False)  # noqa: E731
     elif metric == "planar_deg":
         bound_outer = geom.bbox_planar_lower_bound
         bound_pair = geom.bbox_planar_lower_bound_pairwise
