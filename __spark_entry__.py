@@ -2,12 +2,25 @@
 
 ``entry`` runs the flagship geo pipeline on sf0.001. ``queries`` maps
 every operator family from SURVEY.md §2 (+ the training-data pipeline
-ops) to a (spark, sf_dir) -> DataFrame callable; ``oracle_sql`` gives the
-DuckDB-equivalent SQL where the op is ANSI-SQL-expressible (hash-based
-and geodesic ops are rows-only by design — noted inline).
+ops) to a (spark, sf_dir) -> DataFrame callable; ``oracle_sql`` gives a
+DuckDB mirror for EVERY query (round 4: 42/42 value-oracled, zero
+rows-only). Ops that are not directly ANSI-SQL-expressible are verified
+by one of two techniques:
+
+- STAGE-ORACLES: the Spark query materializes its non-SQL-portable
+  intermediate (xxhash64/pandas-UDF signatures, decoded pixels/samples/
+  frames, FFT spectra) to Parquet, and the oracle reads the SAME bytes
+  with read_parquet and mirrors all downstream logic by value — the
+  non-portable computation itself stays pytest-pinned (reference
+  goldens, real-pixel/tone fixtures, bit-exact round-trips).
+- ITERATIVE MIRRORS: the WGS84 Vincenty inverse runs as a recursive CTE
+  (fixed-iteration variant; cross-engine agreement <= 5e-10 m), with
+  floor-quantized integer outputs where libm ulps preclude bit equality.
 
 Column names are aliased identically on both sides; float-producing
-expressions use the same IEEE double arithmetic in both engines.
+expressions use the same IEEE double arithmetic in both engines
+(sequential folds mirrored with list_reduce; floor() quantization —
+never round(), whose half-up implementations differ).
 """
 
 from __future__ import annotations
@@ -1012,12 +1025,27 @@ def q_assign_bigworld(spark, sf_dir):
 def q_image_features(spark, sf_dir):
     """Multimodal: decode real pixels (raw/PNG/q6) and extract features
     via mapInPandas. Input images are the deterministic fixture table
-    (row-index-seeded; sf only varies the other queries)."""
+    (row-index-seeded; sf only varies the other queries).
+
+    STAGE-ORACLED (round 4): the decode table (numpy-computed features
+    PLUS the decoded per-channel pixel lists) is staged to Parquet; the
+    query returns the operator's own numpy features, and the DuckDB
+    oracle RECOMPUTES them from the staged pixels — channel means are
+    integer-exact (sum of uint8 values is exact in both engines at any
+    summation order), the gray std agrees to ~1e-13 rel (numpy pairwise
+    vs DuckDB sequential summation) and is floor-quantized to 1e-6
+    units. The binary DECODE itself stays pytest-pinned against real
+    pixel goldens (DuckDB cannot decode PNG/q6)."""
     from tzengine.fixtures import geo_images_df
-    from tzengine.pipeline.multimodal import image_features
+    from tzengine.pipeline.multimodal import image_decode_table
 
     df = geo_images_df(spark, 200, partitions=8)
-    return image_features(df).orderBy("image_id")
+    staged, _ = _stage(spark, image_decode_table(df), "image_decode")
+    return staged.select(
+        "image_id", "w", "h", "fmt", "mean_r", "mean_g", "mean_b",
+        F.floor(F.col("std_gray") * 1000000.0).alias("std_gray_u"),
+        "phash_decoded",
+    ).orderBy("image_id")
 
 
 def q_phash_neardup(spark, sf_dir):
@@ -1046,44 +1074,81 @@ def q_phash_neardup(spark, sf_dir):
 
 def q_audio_features(spark, sf_dir):
     """REAL WAV/PCM decode (stdlib wave + numpy): sr, duration, RMS, ZCR,
-    spectral centroid per clip. Rows-only (binary fixture input)."""
-    from tzengine.fixtures import audio_clips_df
-    from tzengine.pipeline.multimodal import audio_features
+    spectral centroid per clip.
 
-    return audio_features(audio_clips_df(spark, 128, partitions=4)).orderBy(
-        "clip_id"
+    STAGE-ORACLED (round 4): the decode table (features PLUS the decoded
+    sample vector and the rfft magnitude spectrum) is staged; the query
+    returns the operator's own numpy features and the DuckDB oracle
+    RECOMPUTES duration (exact int/int division), ZCR (integer-exact
+    sign-change count), RMS from the samples and the spectral centroid
+    from the staged spectrum (both floor-quantized against summation-
+    order ulps). The WAV parse and the FFT itself stay pytest-pinned
+    against tone-frequency goldens (no SQL FFT exists)."""
+    from tzengine.fixtures import audio_clips_df
+    from tzengine.pipeline.multimodal import audio_decode_table
+
+    staged, _ = _stage(
+        spark,
+        audio_decode_table(audio_clips_df(spark, 128, partitions=4)),
+        "audio_decode",
     )
+    return staged.select(
+        "clip_id", "sample_rate", "n_samples", "duration_s",
+        F.floor(F.col("rms") * 1000000000.0).alias("rms_nano"),
+        "zcr",
+        F.floor(F.col("spectral_centroid_hz") * 1000000.0).alias("centroid_u"),
+    ).orderBy("clip_id")
 
 
 def q_video_frame_sample(spark, sf_dir):
     """REAL raw-frame container parsing: every 5th frame extracted and
-    PNG-re-encoded (actual pixels). Rows-only (binary fixture input)."""
+    PNG-re-encoded (actual pixels).
+
+    STAGE-ORACLED (round 4): the FULL decode table (every frame, through
+    the same operator at every_n=1) is staged; the query runs the real
+    every_n=5 operator and the DuckDB oracle reproduces its output by
+    SQL-sampling frame_no % 5 = 0 from the staged table, comparing the
+    complete re-encoded frame payload via hex() — so the sampling loop
+    and payload integrity are value-verified while the container parse
+    stays pinned by the bit-exact round-trip test."""
     from tzengine.fixtures import raw_videos_df
     from tzengine.pipeline.multimodal import sample_video_frames
 
-    out = sample_video_frames(
-        raw_videos_df(spark, 32, frames=12, partitions=4), every_n=5
-    )
+    vids = raw_videos_df(spark, 32, frames=12, partitions=4)
+    _stage(spark, sample_video_frames(vids, every_n=1), "video_frames")
+    out = sample_video_frames(vids, every_n=5)
     return out.select(
-        "video_id", "frame_no", "w", "h", F.length("bytes").alias("n_bytes")
+        "video_id", "frame_no", "w", "h",
+        F.hex("bytes").alias("frame_hex"),
     ).orderBy("video_id", "frame_no")
 
 
 def q_payload_verify(spark, sf_dir):
     """Per-row payload fidelity (input_hint invariant): decoded-pixel
-    exact/PSNR>=40dB + caption equality + phash stability, aggregated."""
-    from tzengine.fixtures import geo_images_df
-    from tzengine.payload import verify_payload
+    exact/PSNR>=40dB + caption equality + phash stability, aggregated.
 
-    v = verify_payload(geo_images_df(spark, 120, partitions=8))
+    STAGE-ORACLED (round 4): the verify table is staged WITH its raw
+    ingredients (decoded + expected pixel lists, both captions, both
+    hashes); the query aggregates the operator's own numpy verdicts,
+    and the DuckDB oracle RECOMPUTES every verdict from the staged
+    values — exact list equality, integer-exact MSE → PSNR threshold,
+    caption equality, xor/bit_count hamming — then mirrors the
+    aggregation. PSNR is floor-quantized to millidB (log10 differs by
+    ulps between libms). Only the binary decode + deterministic synth
+    stay pytest-pinned."""
+    from tzengine.fixtures import geo_images_df
+    from tzengine.payload import verify_payload_table
+
+    v = verify_payload_table(geo_images_df(spark, 120, partitions=8))
+    staged, _ = _stage(spark, v, "payload_verify")
     return (
-        v.groupBy("fmt")
+        staged.groupBy("fmt")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("pixels_ok").cast("int")).alias("n_pixels_ok"),
-            F.sum(F.col("caption_ok").cast("int")).alias("n_caption_ok"),
-            F.sum(F.col("phash_ok").cast("int")).alias("n_phash_ok"),
-            F.min(F.round("psnr_db", 3)).alias("min_psnr_db"),
+            F.sum(F.col("pixels_ok").cast("long")).alias("n_pixels_ok"),
+            F.sum(F.col("caption_ok").cast("long")).alias("n_caption_ok"),
+            F.sum((F.col("phash_dist") <= 2).cast("long")).alias("n_phash_ok"),
+            F.min(F.floor(F.col("psnr_db") * 1000.0)).alias("min_psnr_mdb"),
         )
         .orderBy("fmt")
     )
@@ -1656,9 +1721,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "phash_neardup": q_phash_neardup,
         "fingerprint": q_fingerprint,
-        # rows-only (hash-seeded / geodesic / binary-payload)
+        # geodesic ops (round 4: recursive-CTE Vincenty mirror)
         "distance_boundary": q_distance_boundary,
         "knn_zones": q_knn_zones,
+        # multimodal (round 4: stage-oracled — binary decode/FFT stay
+        # pytest-pinned; all downstream math value-verified on the
+        # staged decode tables)
         "image_features": q_image_features,
         "audio_features": q_audio_features,
         "video_frame_sample": q_video_frame_sample,
@@ -1982,6 +2050,83 @@ def oracle_sql() -> dict[str, str]:
         "distance_boundary_geodesic": _vincenty_geodesic_oracle_sql(),
         "distance_boundary": _world_distance_oracle_sql(),
         "knn_zones": _world_knn_oracle_sql(),
+        "audio_features": f"""
+            WITH t AS (SELECT * FROM read_parquet('{_stage_glob("audio_decode")}')),
+            r AS (
+              SELECT clip_id, sample_rate, n_samples,
+                CAST(n_samples AS DOUBLE) / sample_rate AS duration_s,
+                CASE WHEN len(samples) > 0 THEN
+                  sqrt(list_sum(list_transform(samples, v -> v * v))
+                       / len(samples))
+                ELSE 0.0 END AS rms,
+                CASE WHEN len(samples) > 1 THEN
+                  CAST(list_sum(list_transform(range(1, len(samples)),
+                         i -> CAST(((samples[i + 1] < 0) <> (samples[i] < 0))
+                                   AS INT))) AS DOUBLE)
+                    / (len(samples) - 1)
+                ELSE 0.0 END AS zcr,
+                CASE WHEN list_sum(spec) <> 0 THEN
+                  list_sum(list_transform(range(1, len(spec) + 1),
+                           i -> freqs[i] * spec[i])) / list_sum(spec)
+                ELSE 0.0 END AS centroid
+              FROM t)
+            SELECT clip_id, sample_rate, n_samples, duration_s,
+                   CAST(floor(rms * 1000000000.0) AS BIGINT) AS rms_nano,
+                   zcr,
+                   CAST(floor(centroid * 1000000.0) AS BIGINT) AS centroid_u
+            FROM r ORDER BY clip_id
+        """,
+        "video_frame_sample": f"""
+            SELECT video_id, frame_no, w, h, hex(bytes) AS frame_hex
+            FROM read_parquet('{_stage_glob("video_frames")}')
+            WHERE frame_no % 5 = 0
+            ORDER BY video_id, frame_no
+        """,
+        # payload_verify: every verdict recomputed from the staged raw
+        # ingredients (exact list equality; MSE is integer-exact in both
+        # engines; PSNR floor-quantized to millidB against log10 ulps)
+        "payload_verify": f"""
+            WITH t AS (SELECT * FROM read_parquet('{_stage_glob("payload_verify")}')),
+            m AS (
+              SELECT *,
+                CAST(list_sum(list_transform(range(1, len(px) + 1),
+                       i -> (px[i] - ex[i]) * (px[i] - ex[i]))) AS DOUBLE)
+                  / len(px) AS mse
+              FROM t),
+            v AS (
+              SELECT fmt,
+                CASE WHEN fmt IN ('raw', 'png') THEN px = ex
+                     ELSE (CASE WHEN mse = 0 THEN 999.0
+                           ELSE 10.0 * log10(65025.0 / mse) END) >= 40.0
+                END AS pixels_ok,
+                CASE WHEN mse = 0 THEN 999.0
+                     ELSE 10.0 * log10(65025.0 / mse) END AS psnr_db,
+                caption = exp_caption AS caption_ok,
+                bit_count(xor(phash_decoded, phash)) <= 2 AS phash_ok
+              FROM m)
+            SELECT fmt, count(*) AS n,
+                   SUM(CAST(pixels_ok AS BIGINT)) AS n_pixels_ok,
+                   SUM(CAST(caption_ok AS BIGINT)) AS n_caption_ok,
+                   SUM(CAST(phash_ok AS BIGINT)) AS n_phash_ok,
+                   CAST(min(floor(psnr_db * 1000.0)) AS BIGINT) AS min_psnr_mdb
+            FROM v GROUP BY fmt ORDER BY fmt
+        """,
+        "image_features": f"""
+            WITH t AS (SELECT * FROM read_parquet('{_stage_glob("image_decode")}')),
+            g AS (
+              SELECT *, list_reduce(gray, (x, y) -> x + y) / len(gray) AS gm
+              FROM t)
+            SELECT image_id, w, h, fmt,
+                   CAST(list_sum(r_px) AS DOUBLE) / len(r_px) AS mean_r,
+                   CAST(list_sum(g_px) AS DOUBLE) / len(g_px) AS mean_g,
+                   CAST(list_sum(b_px) AS DOUBLE) / len(b_px) AS mean_b,
+                   CAST(floor(sqrt(
+                     list_reduce(list_transform(gray, v -> (v - gm) * (v - gm)),
+                                 (x, y) -> x + y) / len(gray)
+                   ) * 1000000.0) AS BIGINT) AS std_gray_u,
+                   phash_decoded
+            FROM g ORDER BY image_id
+        """,
         "fingerprint": f"""
             SELECT doc_id, fingerprint,
                    list_min(gram_hashes) AS fingerprint_min_ngram

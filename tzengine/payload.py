@@ -98,3 +98,73 @@ def verify_payload(
         )
         .drop("__v")
     )
+
+
+VERIFY_TABLE_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("px", T.ArrayType(T.IntegerType())),
+        T.StructField("ex", T.ArrayType(T.IntegerType())),
+        T.StructField("caption", T.StringType()),
+        T.StructField("exp_caption", T.StringType()),
+        T.StructField("phash", T.LongType()),
+        T.StructField("phash_decoded", T.LongType()),
+        T.StructField("pixels_ok", T.BooleanType()),
+        T.StructField("psnr_db", T.DoubleType()),
+        T.StructField("caption_ok", T.BooleanType()),
+        T.StructField("phash_dist", T.IntegerType()),
+    ]
+)
+
+
+def verify_payload_table(df: DataFrame, psnr_min: float = 40.0) -> DataFrame:
+    """Stage-oracle form of :func:`verify_payload` (round 4): the same
+    per-row verification PLUS every raw ingredient — decoded and
+    expected pixel lists, stored and expected captions, stored and
+    recomputed phash — so a SQL oracle can RECOMPUTE pixels_ok (exact
+    list equality for lossless / PSNR threshold for lossy, MSE being
+    integer-exact in both engines), psnr, caption_ok, and the phash
+    hamming distance from the staged values. The binary decode and the
+    deterministic row synthesis stay pytest-pinned."""
+    from collections.abc import Iterator as _It  # noqa: F401
+
+    def op(batches, _psnr_min=psnr_min):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                i = int(r.image_id[3:])
+                expected = images.synth_image(i, int(r.w), int(r.h))
+                got = images.decode(bytes(r.bytes), r.fmt, int(r.w), int(r.h))
+                p = images.psnr(expected, got)
+                p = p if np.isfinite(p) else 999.0
+                if r.fmt in images.LOSSLESS:
+                    pixels_ok = bool(np.array_equal(expected, got))
+                else:
+                    pixels_ok = bool(p >= _psnr_min)
+                exp_caption = row_record(i, with_bytes=False)[5]
+                ph_dec = images.phash64(got)
+                out.append(
+                    (
+                        r.image_id, r.fmt,
+                        got.reshape(-1).astype(np.int32),
+                        expected.reshape(-1).astype(np.int32),
+                        r.caption, exp_caption,
+                        int(r.phash), ph_dec,
+                        pixels_ok, float(p),
+                        r.caption == exp_caption,
+                        images.hamming64(ph_dec, int(r.phash)),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "image_id", "fmt", "px", "ex", "caption", "exp_caption",
+                    "phash", "phash_decoded", "pixels_ok", "psnr_db",
+                    "caption_ok", "phash_dist",
+                ],
+            )
+
+    return df.select(
+        "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
+    ).mapInPandas(op, VERIFY_TABLE_SCHEMA)

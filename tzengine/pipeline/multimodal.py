@@ -62,6 +62,55 @@ def image_features(df: DataFrame) -> DataFrame:
     )
 
 
+DECODE_TABLE_SCHEMA = (
+    FEATURES_SCHEMA + ", "
+    "r_px array<int>, g_px array<int>, b_px array<int>, gray array<double>"
+)
+
+
+def image_decode_table(df: DataFrame) -> DataFrame:
+    """image_features PLUS the decoded per-channel pixel lists and the
+    grayscale plane — the stage-oracle form (round 4): the decode and
+    the numpy feature math stay in this operator (pytest-pinned against
+    real pixels), while the staged pixel columns let a SQL oracle
+    RECOMPUTE the features from the same decoded values (channel means
+    are integer-exact; gray std agrees to ~1e-13 rel, quantized by the
+    caller)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                img = images.decode(bytes(r.bytes), r.fmt, int(r.w), int(r.h))
+                flat = img.reshape(-1, 3)
+                means = flat.mean(axis=0)
+                gray = images.grayscale(img)
+                out.append(
+                    (
+                        r.image_id, int(r.w), int(r.h), r.fmt,
+                        float(means[0]), float(means[1]), float(means[2]),
+                        float(gray.std()),
+                        images.phash64(img),
+                        flat[:, 0].astype(np.int32),
+                        flat[:, 1].astype(np.int32),
+                        flat[:, 2].astype(np.int32),
+                        gray.reshape(-1).astype(np.float64),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "image_id", "w", "h", "fmt",
+                    "mean_r", "mean_g", "mean_b", "std_gray",
+                    "phash_decoded", "r_px", "g_px", "b_px", "gray",
+                ],
+            )
+
+    return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        op, DECODE_TABLE_SCHEMA
+    )
+
+
 RESIZE_SCHEMA = "image_id string, bytes binary, w int, h int, fmt string"
 
 
@@ -204,6 +253,78 @@ def audio_features(df: DataFrame, id_col: str = "clip_id") -> DataFrame:
             )
 
     return df.mapInPandas(op, AUDIO_FEATURES_SCHEMA)
+
+
+AUDIO_DECODE_TABLE_SCHEMA = (
+    AUDIO_FEATURES_SCHEMA
+    + ", samples array<double>, spec array<double>, freqs array<double>"
+)
+
+
+def audio_decode_table(df: DataFrame, id_col: str = "clip_id") -> DataFrame:
+    """audio_features PLUS the decoded sample vector and the rfft
+    magnitude spectrum/frequency grid — the stage-oracle form (round 4):
+    the WAV parse and the FFT stay in this operator (pytest-pinned
+    against tone-frequency goldens), while the staged columns let a SQL
+    oracle RECOMPUTE duration (exact), RMS and ZCR from the samples, and
+    the spectral centroid from the staged spectrum."""
+    import io as _io
+    import wave
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                data = bytes(r.bytes)
+                if data[:4] != b"RIFF":
+                    raise NotImplementedError(
+                        "audio decode: only WAV/PCM is supported — "
+                        "compressed-audio codec libraries are not present "
+                        "in this environment"
+                    )
+                with wave.open(_io.BytesIO(data)) as wf:
+                    sr = wf.getframerate()
+                    n = wf.getnframes()
+                    width = wf.getsampwidth()
+                    raw = wf.readframes(n)
+                if width == 2:
+                    x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+                    x /= 32768.0
+                elif width == 1:
+                    x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+                         - 128.0) / 128.0
+                else:
+                    raise NotImplementedError(
+                        f"unsupported PCM sample width: {width}"
+                    )
+                if wf.getnchannels() > 1:
+                    x = x.reshape(-1, wf.getnchannels()).mean(axis=1)
+                rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+                zcr = (
+                    float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                    if len(x) > 1 else 0.0
+                )
+                if len(x):
+                    spec = np.abs(np.fft.rfft(x))
+                    freqs = np.fft.rfftfreq(len(x), d=1.0 / sr)
+                    denom = spec.sum()
+                    centroid = float((freqs * spec).sum() / denom) if denom else 0.0
+                else:
+                    spec = np.zeros(0)
+                    freqs = np.zeros(0)
+                    centroid = 0.0
+                out.append(
+                    (getattr(r, id_col), sr, len(x), len(x) / sr, rms, zcr,
+                     centroid, x, spec, freqs)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[id_col, "sample_rate", "n_samples", "duration_s",
+                         "rms", "zcr", "spectral_centroid_hz",
+                         "samples", "spec", "freqs"],
+            )
+
+    return df.mapInPandas(op, AUDIO_DECODE_TABLE_SCHEMA)
 
 
 def sample_video_frames(
