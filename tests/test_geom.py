@@ -372,14 +372,27 @@ def test_vincenty_per_row_freeze_is_batch_independent():
     from tzengine import geom
 
     rng = np.random.default_rng(44)
-    lat1 = rng.uniform(-80, 80, 4000)
-    lon1 = rng.uniform(-179, 179, 4000)
-    lat2 = lat1 + rng.normal(0, 2.0, 4000)
-    lon2 = lon1 + rng.normal(0, 2.0, 4000)
+    n = 500
+    lat1 = rng.uniform(-80, 80, n)
+    lon1 = rng.uniform(-179, 179, n)
+    lat2 = lat1 + rng.normal(0, 2.0, n)
+    lon2 = lon1 + rng.normal(0, 2.0, n)
     full = geom.geodesic_distance_wgs84(lat1, lon1, lat2, lon2)
+    # the strongest partitioning: every row evaluated as a SINGLETON
+    # batch (rows that converge in a batch's final iteration are exactly
+    # where the old break leaked body(lambda_penultimate) — 215/500 of
+    # these rows differed under the first freeze attempt)
+    singles = np.array([
+        geom.geodesic_distance_wgs84(
+            lat1[i:i + 1], lon1[i:i + 1], lat2[i:i + 1], lon2[i:i + 1]
+        )[0]
+        for i in range(n)
+    ])
+    np.testing.assert_array_equal(full, singles)
+    # and an uneven split
     parts = np.concatenate([
-        geom.geodesic_distance_wgs84(lat1[:777], lon1[:777], lat2[:777], lon2[:777]),
-        geom.geodesic_distance_wgs84(lat1[777:], lon1[777:], lat2[777:], lon2[777:]),
+        geom.geodesic_distance_wgs84(lat1[:77], lon1[:77], lat2[:77], lon2[:77]),
+        geom.geodesic_distance_wgs84(lat1[77:], lon1[77:], lat2[77:], lon2[77:]),
     ])
     np.testing.assert_array_equal(full, parts)
     # fixed-iteration variant: also pure, and ~identical to the frozen one

@@ -470,8 +470,13 @@ class TzEngine:
         """Q5: distance to the nearest boundary coordinate of the named
         zone's containing piece (TimeZone.kt:41-47); clip edges count as
         boundary. ``metric="geodesic"`` = WGS84 meters (reference
-        parity); ``"planar_deg"`` = planar degrees (cheap pre-filter).
-        Outside point → error (strict) / null (pipeline)."""
+        parity); ``"geodesic_fixed"`` = fixed-iteration Vincenty (the
+        SQL-oracle-tight deterministic variant); ``"planar_deg"`` =
+        planar degrees (cheap pre-filter). Outside point → error
+        (strict) / null (pipeline)."""
+        if metric not in ("geodesic", "geodesic_fixed", "planar_deg"):
+            # fail fast driver-side, not as a wrapped executor exception
+            raise ValueError(f"unknown metric: {metric!r}")
         bc = self._bc
 
         @F.pandas_udf(T.DoubleType())

@@ -451,6 +451,7 @@ def geodesic_distance_wgs84(
     cos_sq_alpha = np.ones_like(L)
     cos2sigma_m = np.zeros_like(L)
     done = np.zeros(L.shape, dtype=bool)
+    all_done_prev = False
 
     for _ in range(iterations):
         sin_lam, cos_lam = np.sin(lam), np.cos(lam)
@@ -480,14 +481,21 @@ def geodesic_distance_wgs84(
         if not freeze:
             lam = lam_new
             continue
-        # per-row freeze: a converged row keeps ITS λ; the batch loop may
-        # exit once everyone froze (further iterations recompute identical
-        # values for frozen rows, so the break changes nothing)
+        # per-row freeze: a converged row keeps ITS λ. The batch loop
+        # exits only when every row was ALREADY frozen at this
+        # iteration's START — i.e. the body above was evaluated on
+        # everyone's frozen λ — so each row's post-loop values are
+        # body(λ_frozen) regardless of batch composition. Breaking in
+        # the same iteration a row freezes would hand that row
+        # body(λ_penultimate) while a batch with a slower peer would
+        # give it body(λ_frozen): the batch-dependence this freeze
+        # exists to remove (caught by the round-4 second review).
+        if all_done_prev:
+            break
         newly = np.abs(lam_new - lam) < 1e-13
         lam = np.where(done, lam, lam_new)
         done |= newly
-        if done.all():
-            break
+        all_done_prev = bool(done.all())
 
     u_sq = cos_sq_alpha * (a**2 - b**2) / b**2
     A = 1.0 + u_sq / 16384.0 * (4096.0 + u_sq * (-768.0 + u_sq * (320.0 - 175.0 * u_sq)))

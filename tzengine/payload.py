@@ -35,6 +35,36 @@ VERIFY_SCHEMA = T.StructType(
 )
 
 
+def _verify_row(
+    image_id: str, data: bytes, w: int, h: int, fmt: str,
+    caption, phash: int, psnr_min: float,
+) -> dict:
+    """The single-row verification — ONE implementation shared by
+    verify_payload and verify_payload_table so the staged-oracle variant
+    can never silently diverge from the operator it verifies."""
+    i = int(image_id[3:])
+    expected = images.synth_image(i, w, h)
+    got = images.decode(data, fmt, w, h)
+    p = images.psnr(expected, got)
+    p = p if np.isfinite(p) else 999.0
+    if fmt in images.LOSSLESS:
+        pixels_ok = bool(np.array_equal(expected, got))
+    else:
+        pixels_ok = bool(p >= psnr_min)
+    exp_caption = row_record(i, with_bytes=False)[5]
+    ph_dec = images.phash64(got)
+    return {
+        "expected": expected,
+        "got": got,
+        "psnr_db": float(p),
+        "pixels_ok": pixels_ok,
+        "exp_caption": exp_caption,
+        "caption_ok": caption == exp_caption,
+        "phash_decoded": ph_dec,
+        "phash_dist": images.hamming64(ph_dec, phash),
+    }
+
+
 def verify_payload(
     df: DataFrame,
     psnr_min: float = 40.0,
@@ -56,22 +86,15 @@ def verify_payload(
         caption_ok = np.zeros(n, dtype=bool)
         phash_dist = np.zeros(n, dtype=np.int32)
         for j in range(n):
-            i = int(image_id.iloc[j][3:])
-            expected = images.synth_image(i, int(w.iloc[j]), int(h.iloc[j]))
-            got = images.decode(
-                bytes(data.iloc[j]), fmt.iloc[j], int(w.iloc[j]), int(h.iloc[j])
+            r = _verify_row(
+                image_id.iloc[j], bytes(data.iloc[j]), int(w.iloc[j]),
+                int(h.iloc[j]), fmt.iloc[j], caption.iloc[j],
+                int(phash.iloc[j]), psnr_min,
             )
-            p = images.psnr(expected, got)
-            psnr_db[j] = p if np.isfinite(p) else 999.0
-            if fmt.iloc[j] in images.LOSSLESS:
-                pixels_ok[j] = bool(np.array_equal(expected, got))
-            else:
-                pixels_ok[j] = p >= psnr_min
-            exp_caption = row_record(i, with_bytes=False)[5]
-            caption_ok[j] = caption.iloc[j] == exp_caption
-            phash_dist[j] = images.hamming64(
-                images.phash64(got), int(phash.iloc[j])
-            )
+            pixels_ok[j] = r["pixels_ok"]
+            psnr_db[j] = r["psnr_db"]
+            caption_ok[j] = r["caption_ok"]
+            phash_dist[j] = r["phash_dist"]
         return pd.DataFrame(
             {
                 "pixels_ok": pixels_ok,
@@ -127,33 +150,24 @@ def verify_payload_table(df: DataFrame, psnr_min: float = 40.0) -> DataFrame:
     integer-exact in both engines), psnr, caption_ok, and the phash
     hamming distance from the staged values. The binary decode and the
     deterministic row synthesis stay pytest-pinned."""
-    from collections.abc import Iterator as _It  # noqa: F401
 
     def op(batches, _psnr_min=psnr_min):
         for pdf in batches:
             out = []
             for r in pdf.itertuples(index=False):
-                i = int(r.image_id[3:])
-                expected = images.synth_image(i, int(r.w), int(r.h))
-                got = images.decode(bytes(r.bytes), r.fmt, int(r.w), int(r.h))
-                p = images.psnr(expected, got)
-                p = p if np.isfinite(p) else 999.0
-                if r.fmt in images.LOSSLESS:
-                    pixels_ok = bool(np.array_equal(expected, got))
-                else:
-                    pixels_ok = bool(p >= _psnr_min)
-                exp_caption = row_record(i, with_bytes=False)[5]
-                ph_dec = images.phash64(got)
+                v = _verify_row(
+                    r.image_id, bytes(r.bytes), int(r.w), int(r.h),
+                    r.fmt, r.caption, int(r.phash), _psnr_min,
+                )
                 out.append(
                     (
                         r.image_id, r.fmt,
-                        got.reshape(-1).astype(np.int32),
-                        expected.reshape(-1).astype(np.int32),
-                        r.caption, exp_caption,
-                        int(r.phash), ph_dec,
-                        pixels_ok, float(p),
-                        r.caption == exp_caption,
-                        images.hamming64(ph_dec, int(r.phash)),
+                        v["got"].reshape(-1).astype(np.int32),
+                        v["expected"].reshape(-1).astype(np.int32),
+                        r.caption, v["exp_caption"],
+                        int(r.phash), v["phash_decoded"],
+                        v["pixels_ok"], v["psnr_db"],
+                        v["caption_ok"], v["phash_dist"],
                     )
                 )
             yield pd.DataFrame(

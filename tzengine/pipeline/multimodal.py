@@ -32,6 +32,19 @@ FEATURES_SCHEMA = (
 )
 
 
+def _image_feature_row(img: np.ndarray) -> tuple:
+    """Per-image feature math — ONE implementation shared by
+    image_features and image_decode_table (the staged-oracle variant
+    must never silently diverge from the operator it verifies).
+    Returns (mean_r, mean_g, mean_b, gray_plane, std_gray, phash)."""
+    means = img.reshape(-1, 3).mean(axis=0)
+    gray = images.grayscale(img)
+    return (
+        float(means[0]), float(means[1]), float(means[2]),
+        gray, float(gray.std()), images.phash64(img),
+    )
+
+
 def image_features(df: DataFrame) -> DataFrame:
     """Decode → per-channel mean, gray std, phash of the decoded pixels."""
 
@@ -40,14 +53,10 @@ def image_features(df: DataFrame) -> DataFrame:
             out = []
             for r in pdf.itertuples(index=False):
                 img = images.decode(bytes(r.bytes), r.fmt, int(r.w), int(r.h))
-                means = img.reshape(-1, 3).mean(axis=0)
+                mr, mg, mb, _gray, std, ph = _image_feature_row(img)
                 out.append(
-                    (
-                        r.image_id, int(r.w), int(r.h), r.fmt,
-                        float(means[0]), float(means[1]), float(means[2]),
-                        float(images.grayscale(img).std()),
-                        images.phash64(img),
-                    )
+                    (r.image_id, int(r.w), int(r.h), r.fmt,
+                     mr, mg, mb, std, ph)
                 )
             yield pd.DataFrame(
                 out,
@@ -82,15 +91,12 @@ def image_decode_table(df: DataFrame) -> DataFrame:
             out = []
             for r in pdf.itertuples(index=False):
                 img = images.decode(bytes(r.bytes), r.fmt, int(r.w), int(r.h))
+                mr, mg, mb, gray, std, ph = _image_feature_row(img)
                 flat = img.reshape(-1, 3)
-                means = flat.mean(axis=0)
-                gray = images.grayscale(img)
                 out.append(
                     (
                         r.image_id, int(r.w), int(r.h), r.fmt,
-                        float(means[0]), float(means[1]), float(means[2]),
-                        float(gray.std()),
-                        images.phash64(img),
+                        mr, mg, mb, std, ph,
                         flat[:, 0].astype(np.int32),
                         flat[:, 1].astype(np.int32),
                         flat[:, 2].astype(np.int32),
@@ -192,56 +198,70 @@ def decode_rawvid(data: bytes):
     return w, h, frames
 
 
-def audio_features(df: DataFrame, id_col: str = "clip_id") -> DataFrame:
-    """REAL audio decode for WAV/PCM payloads (stdlib ``wave`` + numpy —
-    no external codec needed): sample rate, duration, RMS, zero-crossing
-    rate, spectral centroid (rfft). Non-WAV payloads raise
+def _decode_wav(data: bytes) -> tuple:
+    """WAV/PCM parse (stdlib ``wave`` + numpy) → (sample_rate, samples
+    float64 in [-1, 1], channel-mixed). Non-WAV payloads raise
     NotImplementedError (compressed codecs absent from this environment
-    — explicit, nothing silently faked). mapInPandas streams batches; a
-    100 TB scan never materializes a partition."""
+    — explicit, nothing silently faked). ONE implementation shared by
+    audio_features and audio_decode_table."""
     import io as _io
     import wave
+
+    if data[:4] != b"RIFF":
+        raise NotImplementedError(
+            "audio decode: only WAV/PCM is supported — compressed-audio "
+            "codec libraries are not present in this environment"
+        )
+    with wave.open(_io.BytesIO(data)) as wf:
+        sr = wf.getframerate()
+        n = wf.getnframes()
+        width = wf.getsampwidth()
+        channels = wf.getnchannels()
+        raw = wf.readframes(n)
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+        x /= 32768.0
+    elif width == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+             - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"unsupported PCM sample width: {width}")
+    if channels > 1:
+        x = x.reshape(-1, channels).mean(axis=1)
+    return sr, x
+
+
+def _audio_feature_row(x: np.ndarray, sr: int) -> tuple:
+    """Per-clip feature math over decoded samples — shared by both audio
+    ops. Returns (rms, zcr, centroid, spec, freqs)."""
+    rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+    zcr = (
+        float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+        if len(x) > 1 else 0.0
+    )
+    if len(x):
+        spec = np.abs(np.fft.rfft(x))
+        freqs = np.fft.rfftfreq(len(x), d=1.0 / sr)
+        denom = spec.sum()
+        centroid = float((freqs * spec).sum() / denom) if denom else 0.0
+    else:
+        spec = np.zeros(0)
+        freqs = np.zeros(0)
+        centroid = 0.0
+    return rms, zcr, centroid, spec, freqs
+
+
+def audio_features(df: DataFrame, id_col: str = "clip_id") -> DataFrame:
+    """REAL audio decode for WAV/PCM payloads: sample rate, duration,
+    RMS, zero-crossing rate, spectral centroid (rfft). mapInPandas
+    streams batches; a 100 TB scan never materializes a partition."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for r in pdf.itertuples(index=False):
-                data = bytes(r.bytes)
-                if data[:4] != b"RIFF":
-                    raise NotImplementedError(
-                        "audio decode: only WAV/PCM is supported — "
-                        "compressed-audio codec libraries are not present "
-                        "in this environment"
-                    )
-                with wave.open(_io.BytesIO(data)) as wf:
-                    sr = wf.getframerate()
-                    n = wf.getnframes()
-                    width = wf.getsampwidth()
-                    raw = wf.readframes(n)
-                if width == 2:
-                    x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
-                    x /= 32768.0
-                elif width == 1:
-                    x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
-                         - 128.0) / 128.0
-                else:
-                    raise NotImplementedError(
-                        f"unsupported PCM sample width: {width}"
-                    )
-                if wf.getnchannels() > 1:
-                    x = x.reshape(-1, wf.getnchannels()).mean(axis=1)
-                rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
-                zcr = (
-                    float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
-                    if len(x) > 1 else 0.0
-                )
-                if len(x):
-                    spec = np.abs(np.fft.rfft(x))
-                    freqs = np.fft.rfftfreq(len(x), d=1.0 / sr)
-                    denom = spec.sum()
-                    centroid = float((freqs * spec).sum() / denom) if denom else 0.0
-                else:
-                    centroid = 0.0
+                sr, x = _decode_wav(bytes(r.bytes))
+                rms, zcr, centroid, _spec, _freqs = _audio_feature_row(x, sr)
                 out.append(
                     (getattr(r, id_col), sr, len(x), len(x) / sr, rms, zcr,
                      centroid)
@@ -268,51 +288,13 @@ def audio_decode_table(df: DataFrame, id_col: str = "clip_id") -> DataFrame:
     against tone-frequency goldens), while the staged columns let a SQL
     oracle RECOMPUTE duration (exact), RMS and ZCR from the samples, and
     the spectral centroid from the staged spectrum."""
-    import io as _io
-    import wave
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for r in pdf.itertuples(index=False):
-                data = bytes(r.bytes)
-                if data[:4] != b"RIFF":
-                    raise NotImplementedError(
-                        "audio decode: only WAV/PCM is supported — "
-                        "compressed-audio codec libraries are not present "
-                        "in this environment"
-                    )
-                with wave.open(_io.BytesIO(data)) as wf:
-                    sr = wf.getframerate()
-                    n = wf.getnframes()
-                    width = wf.getsampwidth()
-                    raw = wf.readframes(n)
-                if width == 2:
-                    x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
-                    x /= 32768.0
-                elif width == 1:
-                    x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
-                         - 128.0) / 128.0
-                else:
-                    raise NotImplementedError(
-                        f"unsupported PCM sample width: {width}"
-                    )
-                if wf.getnchannels() > 1:
-                    x = x.reshape(-1, wf.getnchannels()).mean(axis=1)
-                rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
-                zcr = (
-                    float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
-                    if len(x) > 1 else 0.0
-                )
-                if len(x):
-                    spec = np.abs(np.fft.rfft(x))
-                    freqs = np.fft.rfftfreq(len(x), d=1.0 / sr)
-                    denom = spec.sum()
-                    centroid = float((freqs * spec).sum() / denom) if denom else 0.0
-                else:
-                    spec = np.zeros(0)
-                    freqs = np.zeros(0)
-                    centroid = 0.0
+                sr, x = _decode_wav(bytes(r.bytes))
+                rms, zcr, centroid, spec, freqs = _audio_feature_row(x, sr)
                 out.append(
                     (getattr(r, id_col), sr, len(x), len(x) / sr, rms, zcr,
                      centroid, x, spec, freqs)
