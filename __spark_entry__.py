@@ -468,15 +468,15 @@ def q_distance_boundary(spark, sf_dir):
     oracle picks the first containing piece with the even-odd boundary-
     inclusive predicates, mirrors the nearest-foot argmin over ALL of
     that piece's segments (clip/hole edges count), and runs the full
-    recursive-CTE Vincenty chain. metric='geodesic_fixed' + floor 0.1 mm
+    recursive-CTE Vincenty chain. DEFAULT metric (round 5: "geodesic"
+    IS the fixed-iteration Vincenty — this row now value-oracles the
+    exact code path real callers hit with no arguments) + floor 0.1 mm
     quantization as in distance_boundary_geodesic. Raw-meter output
     remains pinned by the ±1 mm reference goldens in test_geom.py."""
     pts = _events_points(spark, sf_dir)
     eng = _engine(spark)
     out = eng.assign_timezones(pts, mode="strict")
-    d = eng.distance_from_boundary(
-        out, mode="strict", metric="geodesic_fixed"
-    )
+    d = eng.distance_from_boundary(out, mode="strict")
     return d.select(
         "event_id",
         "tzid",
@@ -537,9 +537,10 @@ def q_distance_boundary_geodesic(spark, sf_dir):
     """Q5's GEODESIC (WGS84 Vincenty) path value-oracled end-to-end
     (round 4): the DuckDB oracle runs the full Vincenty inverse as a
     49-step RECURSIVE CTE mirroring the kernel's fixed-iteration
-    variant (metric="geodesic_fixed" — deterministic pure-row function;
-    the adaptive per-row-freeze default would let trig-ulp differences
-    flip the freeze iteration across engines). Cross-engine agreement
+    variant — since round 5 the DEFAULT metric (deterministic pure-row
+    function; the adaptive per-row-freeze variant, now opt-in
+    "geodesic_freeze", would let trig-ulp differences flip the freeze
+    iteration across engines). Cross-engine agreement
     measured at <= 5.2e-10 m over 10k points (sin/cos/sqrt are
     bit-identical between numpy and DuckDB here; tan/atan/atan2 differ
     by ulps), so the output is quantized to 0.1 mm integer units with
@@ -548,9 +549,7 @@ def q_distance_boundary_geodesic(spark, sf_dir):
     pts = _events_points(spark, sf_dir)
     eng = _rect_engine(spark)
     out = eng.assign_timezones(pts, mode="strict")
-    d = eng.distance_from_boundary(
-        out, mode="strict", metric="geodesic_fixed"
-    )
+    d = eng.distance_from_boundary(out, mode="strict")
     return d.select(
         "event_id",
         "tzid",
@@ -735,14 +734,15 @@ def q_knn_zones(spark, sf_dir):
     (nearest piece wins — the MultiPolygon zone exercises this), and
     takes the top-3 zones by (distance, rank) — exactly the dense
     semantics the pruned kNN is pytest-pinned against. Deterministic
-    event_id<200 subset (limit() is order-dependent);
-    metric='geodesic_fixed' for cross-engine iteration parity. String
-    output: floats only decide the order, and inter-zone distance gaps
-    (meters) dwarf the ~5e-10 m cross-engine jitter."""
+    event_id<200 subset (limit() is order-dependent); DEFAULT metric
+    (round 5: "geodesic" IS the fixed-iteration Vincenty, so this row
+    oracles the no-argument path) for cross-engine iteration parity.
+    String output: floats only decide the order, and inter-zone
+    distance gaps (meters) dwarf the ~5e-10 m cross-engine jitter."""
     pts = _events_points(spark, sf_dir).filter(F.col("event_id") < 200)
     return (
         _engine(spark)
-        .knn_zones(pts, k=3, metric="geodesic_fixed")
+        .knn_zones(pts, k=3)
         .select("event_id", F.concat_ws("|", "nearest_tzids").alias("knn_str"))
         .orderBy("event_id")
     )
@@ -1140,22 +1140,35 @@ def q_payload_verify(spark, sf_dir):
     and the DuckDB oracle RECOMPUTES every verdict from the staged
     values — exact list equality, integer-exact MSE → PSNR threshold,
     caption equality, xor/bit_count hamming — then mirrors the
-    aggregation. PSNR is floor-quantized to millidB (log10 differs by
-    ulps between libms). Only the binary decode + deterministic synth
-    stay pytest-pinned."""
+    aggregation. The fidelity magnitude is reported as the INTEGER MSE
+    numerator (sum of squared uint8 differences — exact in both
+    engines), not a floored PSNR: round 4's driver run showed a libm
+    log10 within an ulp of an integer millidB can floor differently
+    across numpy/DuckDB builds (VERDICT r4 #2); the >=40 dB check
+    survives as the pixels_ok boolean (actuals ~46 dB, nowhere near
+    the threshold boundary). Only the binary decode + deterministic
+    synth stay pytest-pinned."""
     from tzengine.fixtures import geo_images_df
     from tzengine.payload import verify_payload_table
 
     v = verify_payload_table(geo_images_df(spark, 120, partitions=8))
     staged, _ = _stage(spark, v, "payload_verify")
+    mse_num = F.aggregate(
+        F.zip_with("px", "ex", lambda a, b: ((a - b) * (a - b)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     return (
-        staged.groupBy("fmt")
+        staged.withColumn("mse_num", mse_num)
+        .withColumn("n_px", F.size("px").cast("long"))
+        .groupBy("fmt")
         .agg(
             F.count("*").alias("n"),
             F.sum(F.col("pixels_ok").cast("long")).alias("n_pixels_ok"),
             F.sum(F.col("caption_ok").cast("long")).alias("n_caption_ok"),
             F.sum((F.col("phash_dist") <= 2).cast("long")).alias("n_phash_ok"),
-            F.min(F.floor(F.col("psnr_db") * 1000.0)).alias("min_psnr_mdb"),
+            F.max("mse_num").alias("max_mse_num"),
+            F.max("n_px").alias("n_px"),
         )
         .orderBy("fmt")
     )
@@ -2090,24 +2103,25 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY video_id, frame_no
         """,
         # payload_verify: every verdict recomputed from the staged raw
-        # ingredients (exact list equality; MSE is integer-exact in both
-        # engines; PSNR floor-quantized to millidB against log10 ulps)
+        # ingredients. The fidelity magnitude is the INTEGER MSE
+        # numerator (sum of squared uint8 diffs — exact in both engines,
+        # any summation order); NO libm output is compared (r4's one red
+        # row was a log10-within-an-ulp-of-a-millidB floor flip)
         "payload_verify": f"""
             WITH t AS (SELECT * FROM read_parquet('{_stage_glob("payload_verify")}')),
             m AS (
               SELECT *,
                 CAST(list_sum(list_transform(range(1, len(px) + 1),
-                       i -> (px[i] - ex[i]) * (px[i] - ex[i]))) AS DOUBLE)
-                  / len(px) AS mse
+                       i -> CAST((px[i] - ex[i]) * (px[i] - ex[i]) AS BIGINT)))
+                  AS BIGINT) AS mse_num
               FROM t),
             v AS (
-              SELECT fmt,
+              SELECT fmt, mse_num, CAST(len(px) AS BIGINT) AS n_px,
                 CASE WHEN fmt IN ('raw', 'png') THEN px = ex
-                     ELSE (CASE WHEN mse = 0 THEN 999.0
-                           ELSE 10.0 * log10(65025.0 / mse) END) >= 40.0
+                     ELSE (CASE WHEN mse_num = 0 THEN 999.0
+                           ELSE 10.0 * log10(65025.0 * len(px) / mse_num) END)
+                          >= 40.0
                 END AS pixels_ok,
-                CASE WHEN mse = 0 THEN 999.0
-                     ELSE 10.0 * log10(65025.0 / mse) END AS psnr_db,
                 caption = exp_caption AS caption_ok,
                 bit_count(xor(phash_decoded, phash)) <= 2 AS phash_ok
               FROM m)
@@ -2115,7 +2129,8 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CAST(pixels_ok AS BIGINT)) AS n_pixels_ok,
                    SUM(CAST(caption_ok AS BIGINT)) AS n_caption_ok,
                    SUM(CAST(phash_ok AS BIGINT)) AS n_phash_ok,
-                   CAST(min(floor(psnr_db * 1000.0)) AS BIGINT) AS min_psnr_mdb
+                   max(mse_num) AS max_mse_num,
+                   max(n_px) AS n_px
             FROM v GROUP BY fmt ORDER BY fmt
         """,
         "image_features": f"""

@@ -377,24 +377,68 @@ def test_vincenty_per_row_freeze_is_batch_independent():
     lon1 = rng.uniform(-179, 179, n)
     lat2 = lat1 + rng.normal(0, 2.0, n)
     lon2 = lon1 + rng.normal(0, 2.0, n)
-    full = geom.geodesic_distance_wgs84(lat1, lon1, lat2, lon2)
+    full = geom.geodesic_distance_wgs84(lat1, lon1, lat2, lon2, freeze=True)
     # the strongest partitioning: every row evaluated as a SINGLETON
     # batch (rows that converge in a batch's final iteration are exactly
     # where the old break leaked body(lambda_penultimate) — 215/500 of
     # these rows differed under the first freeze attempt)
     singles = np.array([
         geom.geodesic_distance_wgs84(
-            lat1[i:i + 1], lon1[i:i + 1], lat2[i:i + 1], lon2[i:i + 1]
+            lat1[i:i + 1], lon1[i:i + 1], lat2[i:i + 1], lon2[i:i + 1],
+            freeze=True,
         )[0]
         for i in range(n)
     ])
     np.testing.assert_array_equal(full, singles)
     # and an uneven split
     parts = np.concatenate([
-        geom.geodesic_distance_wgs84(lat1[:77], lon1[:77], lat2[:77], lon2[:77]),
-        geom.geodesic_distance_wgs84(lat1[77:], lon1[77:], lat2[77:], lon2[77:]),
+        geom.geodesic_distance_wgs84(
+            lat1[:77], lon1[:77], lat2[:77], lon2[:77], freeze=True),
+        geom.geodesic_distance_wgs84(
+            lat1[77:], lon1[77:], lat2[77:], lon2[77:], freeze=True),
     ])
     np.testing.assert_array_equal(full, parts)
-    # fixed-iteration variant: also pure, and ~identical to the frozen one
-    fixed = geom.geodesic_distance_wgs84(lat1, lon1, lat2, lon2, freeze=False)
+    # fixed-iteration variant (the DEFAULT since round 5): also pure,
+    # trivially batch-independent, and ~identical to the frozen one
+    fixed = geom.geodesic_distance_wgs84(lat1, lon1, lat2, lon2)
     np.testing.assert_allclose(fixed, full, rtol=0, atol=1e-5)
+    fixed_singles = np.array([
+        geom.geodesic_distance_wgs84(
+            lat1[i:i + 1], lon1[i:i + 1], lat2[i:i + 1], lon2[i:i + 1]
+        )[0]
+        for i in range(0, n, 25)
+    ])
+    np.testing.assert_array_equal(fixed[::25], fixed_singles)
+
+
+def test_geodesic_metric_aliases_and_default():
+    """Round 5 (VERDICT r4 #3): metric="geodesic" IS the fixed-iteration
+    Vincenty ("geodesic_fixed" aliases it); "geodesic_freeze" opts into
+    the adaptive variant; both agree to well under a micrometer."""
+    import numpy as np
+
+    from tzengine import index as indexmod, probe
+    from tzengine.zones import synthetic_world
+
+    idx = indexmod.compile_index(synthetic_world(), -90, -180, 90, 180, "s1")
+    rng = np.random.default_rng(7)
+    lats = rng.uniform(0.2, 9.7, 64)
+    lons = rng.uniform(0.2, 9.7, 64)
+    offsets, ranks, _valid = probe.probe_ranks(idx, lats, lons, mode="pipeline")
+    zids = [
+        idx.zone_ids[ranks[offsets[i]]] if offsets[i + 1] > offsets[i] else None
+        for i in range(len(lats))
+    ]
+    d_def = probe.distance_from_boundary_batch(
+        idx, zids, lats, lons, mode="pipeline")
+    d_fixed = probe.distance_from_boundary_batch(
+        idx, zids, lats, lons, mode="pipeline", metric="geodesic_fixed")
+    d_frz = probe.distance_from_boundary_batch(
+        idx, zids, lats, lons, mode="pipeline", metric="geodesic_freeze")
+    np.testing.assert_array_equal(d_def, d_fixed)  # alias = bit-identical
+    np.testing.assert_allclose(d_frz, d_def, rtol=0, atol=1e-5)
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown metric"):
+        probe.distance_from_boundary_batch(
+            idx, zids, lats, lons, mode="pipeline", metric="vincenty")

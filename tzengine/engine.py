@@ -470,11 +470,14 @@ class TzEngine:
         """Q5: distance to the nearest boundary coordinate of the named
         zone's containing piece (TimeZone.kt:41-47); clip edges count as
         boundary. ``metric="geodesic"`` = WGS84 meters (reference
-        parity); ``"geodesic_fixed"`` = fixed-iteration Vincenty (the
-        SQL-oracle-tight deterministic variant); ``"planar_deg"`` =
-        planar degrees (cheap pre-filter). Outside point → error
+        parity) — since round 5 the fixed-iteration Vincenty the SQL
+        oracle mirrors ("geodesic_fixed" is an alias; "geodesic_freeze"
+        opts into the adaptive variant, ~5e-10 m away); ``"planar_deg"``
+        = planar degrees (cheap pre-filter). Outside point → error
         (strict) / null (pipeline)."""
-        if metric not in ("geodesic", "geodesic_fixed", "planar_deg"):
+        if metric not in (
+            "geodesic", "geodesic_fixed", "geodesic_freeze", "planar_deg"
+        ):
             # fail fast driver-side, not as a wrapped executor exception
             raise ValueError(f"unknown metric: {metric!r}")
         bc = self._bc
@@ -506,11 +509,14 @@ class TzEngine:
         """kNN fallback (north_star): zones ordered by boundary distance;
         contained zones are distance 0 and keep the area-rank order, so the
         head agrees with getOverlappingTimeZones for covered points.
-        ``metric``: "geodesic" (WGS84 meters, reference parity),
-        "geodesic_fixed" (fixed-iteration Vincenty — the SQL-oracle-
-        tight deterministic variant), or "planar_deg" (planar degrees —
-        bit-exact SQL-oracle-able ordering)."""
-        if metric not in ("geodesic", "geodesic_fixed", "planar_deg"):
+        ``metric``: "geodesic" (WGS84 meters, reference parity — since
+        round 5 the fixed-iteration Vincenty the SQL oracle mirrors;
+        "geodesic_fixed" is an alias), "geodesic_freeze" (opt-in
+        adaptive variant), or "planar_deg" (planar degrees — bit-exact
+        SQL-oracle-able ordering)."""
+        if metric not in (
+            "geodesic", "geodesic_fixed", "geodesic_freeze", "planar_deg"
+        ):
             # fail fast driver-side: a typo would otherwise surface as a
             # wrapped executor PythonException on the first batch
             raise ValueError(f"unknown metric: {metric!r}")

@@ -405,7 +405,7 @@ def nearest_boundary_point(pts: np.ndarray, rings: list[np.ndarray]) -> np.ndarr
 
 
 def geodesic_distance_wgs84(
-    lat1, lon1, lat2, lon2, iterations: int = 50, freeze: bool = True
+    lat1, lon1, lat2, lon2, iterations: int = 50, freeze: bool = False
 ) -> np.ndarray:
     """Vectorized Vincenty inverse on the WGS84 ellipsoid, meters.
 
@@ -413,7 +413,13 @@ def geodesic_distance_wgs84(
     reference goldens' tolerances (TimeZoneTest.java:34-60, tightest
     ±0.001 m on ~111 m). Coincident points return exactly 0.0.
 
-    DETERMINISM (round 4): each row's λ freezes at ITS OWN convergence
+    DEFAULT (round 5, VERDICT r4 #3): ``freeze=False`` — the fixed
+    iteration count with no convergence logic. It is a deterministic
+    pure row function, agrees with the freeze variant to ~5e-10 m, and
+    is the variant the recursive-CTE SQL oracle mirrors exactly — so
+    the path real callers hit by default is the value-oracled one.
+
+    ``freeze=True`` (opt-in adaptive): each row's λ freezes at ITS OWN convergence
     (|Δλ| < 1e-13), so the result is a pure function of the row. The
     previous batch-level break made the last ~1e-13 of λ depend on when
     the slowest row in the batch converged — i.e. output varied with
@@ -423,12 +429,11 @@ def geodesic_distance_wgs84(
     (each row's final value is body(λ_final) no matter when the batch
     loop stops).
 
-    ``freeze=False`` runs the FIXED iteration count with no convergence
-    logic at all — equally deterministic, ~ulp-identical results, and
-    the variant a SQL oracle mirrors most tightly (the freeze threshold
-    comparison can flip iteration counts across engines when |Δλ| lands
-    within trig-ulp distance of 1e-13; without freezing, both engines
-    run the same 50 iterations and agree to ~5e-10 m).
+    The freeze threshold comparison is why ``freeze=True`` is no longer
+    the default: |Δλ| landing within trig-ulp distance of 1e-13 can
+    flip iteration counts across engines, putting the adaptive variant
+    one step away from the SQL mirror; without freezing, both engines
+    run the same ``iterations`` and agree to ~5e-10 m.
     """
     lat1 = np.atleast_1d(np.asarray(lat1, dtype=np.float64))
     lon1 = np.atleast_1d(np.asarray(lon1, dtype=np.float64))
@@ -522,12 +527,13 @@ def geodesic_distance_wgs84(
 
 
 def distance_from_boundary(
-    pts: np.ndarray, rings: list[np.ndarray], freeze: bool = True
+    pts: np.ndarray, rings: list[np.ndarray], freeze: bool = False
 ) -> np.ndarray:
     """Distance (meters) from each point to the planar-nearest boundary
     coordinate, geodesic on WGS84 — TimeZone.kt:41-47 semantics. Does NOT
     enforce the inside-guard; callers check `contains_inclusive` first
-    (TimeZone.kt:43). ``freeze`` → geodesic_distance_wgs84."""
+    (TimeZone.kt:43). ``freeze`` → geodesic_distance_wgs84 (default
+    False = fixed-iteration, the SQL-oracled variant)."""
     pts = np.atleast_2d(np.asarray(pts, dtype=np.float64))
     nearest = nearest_boundary_point(pts, rings)
     return geodesic_distance_wgs84(

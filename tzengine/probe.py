@@ -339,7 +339,10 @@ def distance_from_boundary_batch(
     """Q5 (TimeZone.kt:41-47): for each (zone_id, point), distance to the
     planar-nearest coordinate on the boundary of the piece of ``zone_id``
     that contains the point (clip edges count). ``metric="geodesic"`` is
-    the reference semantics (WGS84 meters); ``"planar_deg"`` returns the
+    the reference semantics (WGS84 meters) — since round 5 it IS the
+    fixed-iteration Vincenty the SQL oracle mirrors ("geodesic_fixed"
+    stays as an alias; "geodesic_freeze" opts back into the adaptive
+    per-row-freeze variant, ~5e-10 m away). ``"planar_deg"`` returns the
     planar degree distance — the cheap pre-filter metric, and (being
     pure arithmetic) the one a SQL oracle can reproduce bit-for-bit.
     Outside points: ValueError in strict mode (reference message), NaN in
@@ -374,15 +377,16 @@ def distance_from_boundary_batch(
                 hp = np.stack([lons[hit], lats[hit]], axis=1)
                 if metric == "planar_deg":
                     out[hit] = geom.planar_distance_from_boundary(hp, rings)
-                elif metric == "geodesic_fixed":
-                    # fixed-iteration Vincenty (no convergence freeze):
-                    # the variant the recursive-CTE SQL oracle mirrors
-                    # most tightly (~5e-10 m) — see geodesic_distance_wgs84
-                    out[hit] = geom.distance_from_boundary(
-                        hp, rings, freeze=False
-                    )
-                elif metric == "geodesic":
+                elif metric in ("geodesic", "geodesic_fixed"):
+                    # fixed-iteration Vincenty (no convergence freeze) is
+                    # the DEFAULT since round 5 (VERDICT r4 #3): the
+                    # variant the recursive-CTE SQL oracle mirrors
+                    # (~5e-10 m) — see geodesic_distance_wgs84
                     out[hit] = geom.distance_from_boundary(hp, rings)
+                elif metric == "geodesic_freeze":
+                    out[hit] = geom.distance_from_boundary(
+                        hp, rings, freeze=True
+                    )
                 else:
                     raise ValueError(f"unknown metric: {metric!r}")
                 resolved[hit] = True
@@ -488,20 +492,24 @@ def knn_zones_batch(
     loop left in the hot path iterates over the UNIQUE PIECES evaluated
     per round (the per-piece ring gather is inherent).
 
-    ``metric``: "geodesic" (WGS84 meters, reference parity — Vincenty,
-    legitimately non-SQL) or "planar_deg" (planar degrees; the same
-    kernel the bit-exact distance_boundary_planar oracle mirrors, which
-    makes the kNN ORDER value-verifiable by a SQL oracle)."""
-    if metric == "geodesic":
+    ``metric``: "geodesic" (WGS84 meters, reference parity — DEFAULT,
+    the fixed-iteration Vincenty the recursive-CTE SQL oracle mirrors;
+    "geodesic_fixed" is an accepted alias), "geodesic_freeze" (opt-in
+    adaptive per-row-freeze Vincenty, ~5e-10 m from the default), or
+    "planar_deg" (planar degrees; the same kernel the bit-exact
+    distance_boundary_planar oracle mirrors, which makes the kNN ORDER
+    value-verifiable by a SQL oracle)."""
+    if metric in ("geodesic", "geodesic_fixed"):
+        # fixed-iteration Vincenty (no per-row freeze): the SQL-oracle-
+        # tight variant is the DEFAULT (VERDICT r4 #3) — see
+        # geodesic_distance_wgs84
         bound_outer = geom.bbox_geodesic_lower_bound
         bound_pair = geom.bbox_geodesic_lower_bound_pairwise
         dist_fn = geom.distance_from_boundary
-    elif metric == "geodesic_fixed":
-        # fixed-iteration Vincenty (no per-row freeze): same geodesic
-        # bounds; the SQL-oracle-tight variant (see geodesic_distance_wgs84)
+    elif metric == "geodesic_freeze":
         bound_outer = geom.bbox_geodesic_lower_bound
         bound_pair = geom.bbox_geodesic_lower_bound_pairwise
-        dist_fn = lambda p, r: geom.distance_from_boundary(p, r, freeze=False)  # noqa: E731
+        dist_fn = lambda p, r: geom.distance_from_boundary(p, r, freeze=True)  # noqa: E731
     elif metric == "planar_deg":
         bound_outer = geom.bbox_planar_lower_bound
         bound_pair = geom.bbox_planar_lower_bound_pairwise
