@@ -1,13 +1,19 @@
 """Benchmark harness.
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32) and prints
-ONE JSON line:
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32).
+
+Output contract (VERDICT r4 #1 — the r4 final line outgrew the driver's
+2 kB stdout-tail capture and the graded artifact lost every headline
+number): the FULL result is written to ./BENCH_SESSION.json (committed)
+and printed as an early "FULL_RESULT ..." line; the LAST stdout line is
+a COMPACT (<1.5 kB, guarded) summary JSON:
 
     {"metric": ..., "value": <total sec>, "unit": "sec",
-     "queries": {...per-query sec...}, "sf": ...,
-     "assign_rows_per_sec": ..., "floor_sec": ..., "scaling": {...},
-     "hugeworld": {...}}
+     "queries": {...per-query sec...}, "sf": ..., "zone_match_rate": ...,
+     "assign_rows_per_sec": ..., "floor_sec": ...,
+     "knn_kernel_rows_per_sec": ..., "hugeworld": {...compact...},
+     "scaling": {eff ratios + per-round effs/steal}, "full": "BENCH_SESSION.json"}
 
 EVERY timed measurement runs in a FRESH CHILD PROCESS pinned with
 sched_setaffinity to exactly N host cores before the JVM launches
@@ -189,26 +195,78 @@ def assign_job(
     pts = probe_points(spark, sf_dir, replicate).repartition(cores).cache()
     n_rows = pts.count()  # materialize outside the timed region
 
-    out = eng.assign_timezones(pts, mode="strict")
+    # SPARK_GRAFT_PROBE_IMPL forces an impl for A/B runs; the default
+    # "auto" resolves to mapInArrow on this (lat,lon)-only input —
+    # ~2.4x faster than the pandas_udf probe at 8 cores (VERDICT r4 #4;
+    # results bit-identical, see test_assign_arrow_impl_parity)
+    impl = os.environ.get("SPARK_GRAFT_PROBE_IMPL", "auto")
+    out = eng.assign_timezones(pts, mode="strict", impl=impl)
 
     def run():
         return out.groupBy("tzid").count().collect()
 
     run()  # warm-up: plan compile + JIT + python worker pool spin-up
     best = min(timed(run)[0] for _ in range(n_timed))
-    floor = floor_job(spark, pts, cores, n_timed=n_timed) if with_floor else None
+    resolved = impl
+    if resolved == "auto":
+        from tzengine.engine import TzEngine as _T
+
+        resolved = _T._pick_probe_impl(pts, "lat", "lon")
+    floor = (
+        floor_job(spark, pts, cores, n_timed=n_timed, impl=resolved)
+        if with_floor
+        else None
+    )
     pts.unpersist()
     return best, n_rows, floor
 
 
-def floor_job(spark, pts, cores, n_timed: int = 5) -> float:
-    """Platform floor (VERDICT r3 #9): a TRIVIAL pandas UDF with the
-    probe's exact input/output schema — two doubles in, (bool, int32,
+def floor_job(
+    spark, pts, cores, n_timed: int = 5, impl: str = "pandas"
+) -> float:
+    """Platform floor (VERDICT r3 #9): a TRIVIAL UDF with the probe's
+    exact input/output schema — two doubles in, (bool, int32,
     list<int32>) out, ZERO compute — over the same cached points. The
     wall is Spark's own Arrow/Python serialization cost; assign_geo /
-    floor_sec quantifies how close the engine sits to that floor
-    (round 3 measured the full assign at ~1.2x the floor)."""
+    floor_sec quantifies how close the engine sits to that floor.
+    ``impl`` matches the floor's transport to the probe being benched
+    (round 5: the assign default is mapInArrow on this input, so the
+    floor is a zero-compute mapInArrow batch passthrough)."""
     from pyspark.sql import types as T
+
+    if impl == "arrow":
+        out_schema = T.StructType(
+            list(pts.schema.fields)
+            + [
+                T.StructField("valid", T.BooleanType()),
+                T.StructField("first_rank", T.IntegerType()),
+                T.StructField("ranks", T.ArrayType(T.IntegerType())),
+            ]
+        )
+
+        def _floor_batches(batches):
+            for batch in batches:
+                n = len(batch)
+                arrays = list(batch.columns) + [
+                    pa.array(np.ones(n, dtype=bool)),
+                    pa.array(np.zeros(n, dtype="int32")),
+                    pa.ListArray.from_arrays(
+                        pa.array(np.arange(n + 1, dtype="int32")),
+                        pa.array(np.zeros(n, dtype="int32")),
+                    ),
+                ]
+                names = list(batch.schema.names) + [
+                    "valid", "first_rank", "ranks",
+                ]
+                yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+        out = pts.mapInArrow(_floor_batches, out_schema)
+
+        def run():
+            return out.groupBy(F.col("first_rank")).count().collect()
+
+        run()  # warm-up
+        return min(timed(run)[0] for _ in range(n_timed))
 
     schema = T.StructType(
         [
@@ -480,6 +538,27 @@ def _hugeworld_only_child(cores: int, sf_dir: str) -> None:
     compile_dist = time.time() - t0
     del eng_dist
 
+    # builder-ETL ingest wall (VERDICT r4 #7): the full geojsonl ->
+    # parse+cleanse (executor-side mapInPandas) -> distributed compile
+    # pipeline at the 1M-vertex scale — the same pipeline the reference
+    # builder runs single-threaded (Main.kt:99-140). File write is
+    # fixture prep (untimed).
+    import tempfile
+
+    from tzengine.geojson import world_to_geojson, zones_from_geojsonl
+
+    with tempfile.TemporaryDirectory() as td:
+        gj_path = f"{td}/hugeworld.geojsonl"
+        world_to_geojson(pieces, gj_path, jsonl=True)
+        gj_mb = os.path.getsize(gj_path) / 1e6
+        t0 = time.time()
+        zdf_ingest = zones_from_geojsonl(spark, gj_path)
+        eng_ing = TzEngine.for_everywhere(
+            spark, zdf_ingest, world_version="huge1", distributed=True
+        )
+        ingest_sec = time.time() - t0
+        del eng_ing
+
     eng = TzEngine(spark, idx)
     pts = (
         probe_points(spark, sf_dir)
@@ -506,6 +585,8 @@ def _hugeworld_only_child(cores: int, sf_dir: str) -> None:
             "compile_sec_driver": round(compile_driver, 2),
             "compile_sec_distributed": round(compile_dist, 2),
             "zones_df_build_sec": round(df_build, 2),
+            "geojsonl_ingest_sec": round(ingest_sec, 2),
+            "geojsonl_mb": round(gj_mb, 1),
             "broadcast_mb": round(idx.nbytes() / 1e6, 1),
             "boundary_cell_share": round(
                 float((~idx.ent_interior).mean()), 4
@@ -705,19 +786,17 @@ def main() -> None:
 
     for _round in range(PAIRED_ROUNDS):
         _one_pair_round()
-    # steal-aware extension: if the median sits under 0.85 AND the
-    # artifact shows hypervisor-steal windows during rounds, run up to 2
-    # extra rounds — rejecting steal-polluted draws is noise rejection,
-    # not cherry-picking (the polluted rounds stay in the artifact and
-    # the median is recomputed over ALL rounds)
-    extra = 0
-    while (
-        extra < 2
-        and _median_eff() < 0.85
-        and any((r.get("steal_pct") or 0) > 2.0 for r in pair_rounds)
-    ):
+    # steal-aware extension (SYMMETRIC since round 5, ADVICE r4 #4): one
+    # extra round per steal-polluted base round (>2% /proc/stat steal),
+    # capped at 2, run UNCONDITIONALLY of the current median — the old
+    # rule extended only when the median was low, taking extra draws
+    # only when they could raise the score. Polluted rounds stay in the
+    # artifact; the median is recomputed over ALL rounds.
+    polluted = sum(
+        1 for r in pair_rounds if (r.get("steal_pct") or 0) > 2.0
+    )
+    for _extra in range(min(2, polluted)):
         _one_pair_round()
-        extra += 1
     eff_2_8 = _median_eff()  # median of ALL paired-round ratios
     thr[2] = max(r["rows_per_sec_2"] for r in pair_rounds)
     thr[8] = max(r["rows_per_sec_8"] for r in pair_rounds)
@@ -811,7 +890,7 @@ def main() -> None:
         "topk_per_group", "bbox_agg", "pip_assign_rect", "dedup_exact",
         "minhash_lsh", "ann_topk", "explode_tokens",
     ]
-    result = {
+    full = {
         "metric": "timezone-assignment throughput + headline query wall",
         "value": total,
         "value_r3_comparable": round(
@@ -868,7 +947,57 @@ def main() -> None:
             ),
         },
     }
-    print(json.dumps(result))
+    # --- artifact recording (VERDICT r4 #1): round 4's final JSON line
+    # outgrew the driver's 2 kB stdout-tail capture and the graded
+    # artifact lost every headline number. The FULL result goes to a
+    # committed file + an early (non-final) stdout line; the LAST stdout
+    # line is a compact summary guaranteed to fit the tail capture.
+    session_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SESSION.json"
+    )
+    with open(session_path, "w") as f:
+        json.dump(full, f, indent=1)
+    print("FULL_RESULT_WRITTEN", session_path)
+    print("FULL_RESULT", json.dumps(full))
+
+    sc = full["scaling"]
+    compact = {
+        "metric": full["metric"],
+        "value": total,
+        "value_r3_comparable": full["value_r3_comparable"],
+        "unit": "sec",
+        "sf": sf,
+        "queries": {k: round(v, 2) for k, v in queries.items()},
+        "zone_match_rate": zone_match_rate,
+        "assign_rows_per_sec": full["assign_rows_per_sec"],
+        "floor_sec": floor_sec,
+        "knn_kernel_rows_per_sec": knn_rps,
+        "hugeworld": {
+            "n_vertices": huge["n_vertices"],
+            "compile_sec": huge["compile_sec_driver"],
+            "ingest_sec": huge.get("geojsonl_ingest_sec"),
+            "broadcast_mb": huge["broadcast_mb"],
+            "rows_per_sec": huge["rows_per_sec"],
+        },
+        "scaling": {
+            "efficiency_2_to_8": sc["efficiency_2_to_8"],
+            "efficiency_8_to_32": sc["efficiency_8_to_32"],
+            "rows_per_sec_low": sc["rows_per_sec_low"],
+            "rows_per_sec_high": sc["rows_per_sec_high"],
+            "round_effs": [r["efficiency"] for r in pair_rounds],
+            "round_steal_pct": [r.get("steal_pct") for r in pair_rounds],
+            "kernel_only_eff_2_8": kernel_only.get("efficiency_2_to_8"),
+            "concurrent_disjoint_legs": all(
+                r.get("concurrent") for r in pair_rounds
+            ),
+        },
+        "full": "BENCH_SESSION.json",
+    }
+    line = json.dumps(compact)
+    if len(line) > 1500:  # hard guard: never outgrow the tail capture
+        compact.pop("queries", None)
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -47,6 +47,59 @@ def test_assign_matches_oracle(engine, world, points_df):
     assert mism == 0  # exact zone-match rate = 100% (BASELINE.json metric)
 
 
+def test_assign_arrow_impl_parity(engine, points_df):
+    """impl="arrow" (mapInArrow, VERDICT r4 #4) must be row-for-row
+    identical to the default pandas_udf impl — including passthrough of
+    extra input columns, Q1-only mode, and pipeline-mode invalid rows."""
+    a = engine.assign_timezones(points_df, mode="strict").orderBy(
+        "image_id").collect()
+    b = engine.assign_timezones(
+        points_df, mode="strict", impl="arrow").orderBy("image_id").collect()
+    assert a == b
+    # Q1-only path
+    a1 = engine.assign_timezones(
+        points_df, include_all=False).orderBy("image_id").collect()
+    b1 = engine.assign_timezones(
+        points_df, include_all=False, impl="arrow"
+    ).orderBy("image_id").collect()
+    assert a1 == b1
+    # no shuffle in the arrow plan either
+    plan = (
+        engine.assign_timezones(points_df, impl="arrow")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown impl"):
+        engine.assign_timezones(points_df, impl="rdd")
+    with _pytest.raises(ValueError, match="reserved"):
+        engine.assign_timezones(
+            points_df.withColumn("__tz_valid", points_df.lat), impl="arrow"
+        )
+
+
+def test_assign_auto_impl_selection(engine, points_df, spark):
+    """The "auto" crossover rule: arrow for narrow fixed-width inputs
+    (<= one extra 8-byte column), pandas once passthrough gets wide or
+    variable-width (measured crossover, engine._pick_probe_impl)."""
+    from tzengine.engine import TzEngine
+
+    pick = TzEngine._pick_probe_impl
+    narrow = points_df.select("lat", "lon")
+    assert pick(narrow, "lat", "lon") == "arrow"
+    one_long = narrow.withColumn("k", narrow.lat.cast("long"))
+    assert pick(one_long, "lat", "lon") == "arrow"
+    assert pick(points_df, "lat", "lon") == "pandas"  # string column
+    two_cols = one_long.withColumn("p", one_long.lon * 2)
+    assert pick(two_cols, "lat", "lon") == "pandas"
+    # auto output == forced outputs on a narrow input
+    a = engine.assign_timezones(narrow).orderBy("lat", "lon").collect()
+    b = engine.assign_timezones(
+        narrow, impl="pandas").orderBy("lat", "lon").collect()
+    assert a == b
+
+
 def test_assign_plan_is_shuffle_free(engine, points_df):
     # the probe is a broadcast join: no Exchange in the physical plan
     out = engine.assign_timezones(points_df)

@@ -318,12 +318,17 @@ def test_geojsonl_duplicate_lines_collapsed_and_counted(spark, tmp_path):
         f.write(json.dumps(feat) + "\n")   # dup 1
         f.write(json.dumps(feat) + "\n")   # dup 2
         f.write(json.dumps(other) + "\n")  # unique
-    df = geojson.zones_from_geojsonl(spark, path)
-    rows = df.collect()
+    # explicit-handle API (ADVICE r4 #3): the counter survives
+    # transformations, unlike the legacy DataFrame attribute
+    df, dups = geojson.zones_from_geojsonl(spark, path, return_dup_counter=True)
+    derived = df.select("zone_id")  # would lose a monkey-patched attribute
+    rows = derived.collect()
     assert sorted(r.zone_id for r in rows) == ["Dup/Zone", "Other/Zone"]
-    assert df.dup_lines_dropped.value == 2  # 3 copies -> 1 kept, 2 dropped
+    assert dups.value == 2  # 3 copies -> 1 kept, 2 dropped
+    assert not hasattr(derived, "dup_lines_dropped")  # why the handle exists
 
-    # no duplicates -> counter stays 0
+    # no duplicates -> counter stays 0 (legacy attribute path still works
+    # when no transformation intervenes)
     path2 = str(tmp_path / "nodups.geojsonl")
     with open(path2, "w") as f:
         f.write(json.dumps(feat) + "\n")

