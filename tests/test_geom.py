@@ -361,6 +361,30 @@ def test_segments_box_pairs_matches_dense_matrix_fuzz():
     np.testing.assert_array_equal(r0, r1)
     np.testing.assert_array_equal(c0, c1)
 
+    # ADVICE r4 #1 counterexample: UNIFORM-SIZE but NOT grid-aligned
+    # boxes — both round to the same (bix, biy) key, and the pre-fix
+    # sparse path matched only the first (a segment crossing only the
+    # second box returned no pairs). Must take the dense fallback.
+    boxes = np.array([[0.0, 0.0, 1.0, 1.0], [0.3, 0.0, 1.3, 1.0]])
+    a = np.array([[1.2, -0.5]])
+    b = np.array([[1.2, 1.5]])  # crosses only the second box
+    r0, c0 = np.nonzero(geom.segments_box_matrix(a, b, boxes))
+    r1, c1 = geom.segments_box_pairs(a, b, boxes)
+    np.testing.assert_array_equal(r0, r1)
+    np.testing.assert_array_equal(c0, c1)
+    assert len(r1) == 1 and r1[0] == 1  # the incidence is actually found
+
+    # aligned grid but DUPLICATE cells (same key twice) must also fall
+    # back — the searchsorted join can only return one box per key
+    boxes = np.array([[0.0, 0.0, 1.0, 1.0], [0.0, 0.0, 1.0, 1.0]])
+    a = np.array([[0.5, -0.5]])
+    b = np.array([[0.5, 1.5]])
+    r0, c0 = np.nonzero(geom.segments_box_matrix(a, b, boxes))
+    r1, c1 = geom.segments_box_pairs(a, b, boxes)
+    np.testing.assert_array_equal(r0, r1)
+    np.testing.assert_array_equal(c0, c1)
+    assert len(r1) == 2
+
 
 def test_vincenty_per_row_freeze_is_batch_independent():
     """Round 4 determinism fix: the geodesic distance must be a pure

