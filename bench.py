@@ -993,9 +993,19 @@ def main() -> None:
         },
         "full": "BENCH_SESSION.json",
     }
+    # hard guard: never outgrow the driver's 2 kB stdout-tail capture —
+    # drop fields (least-critical first) until the line fits, and keep
+    # the scaling ratios no matter what (the graded gate)
     line = json.dumps(compact)
-    if len(line) > 1500:  # hard guard: never outgrow the tail capture
-        compact.pop("queries", None)
+    for drop in ("queries", "hugeworld", "full"):
+        if len(line) <= 1500:
+            break
+        compact.pop(drop, None)
+        line = json.dumps(compact)
+    if len(line) > 1500:
+        sc_c = compact.get("scaling", {})
+        sc_c.pop("round_effs", None)
+        sc_c.pop("round_steal_pct", None)
         line = json.dumps(compact)
     print(line)
 

@@ -514,6 +514,11 @@ class TzEngine:
         for f in df.schema.fields:
             if f.name in (lat_col, lon_col):
                 continue
+            if f.name.startswith("__tz_"):
+                # the arrow impl reserves __tz_* output names — auto must
+                # DEGRADE to the always-working pandas impl, not resolve
+                # to an impl that raises on a previously-valid input
+                return "pandas"
             w = fixed_width.get(type(f.dataType))
             if w is None:
                 return "pandas"  # variable-width passthrough: not worth it
@@ -538,7 +543,10 @@ class TzEngine:
 
         bc = self._bc
         in_schema = df.schema
-        for reserved in ("__tz_valid", "__tz_first_rank", "__tz_ranks"):
+        reserved_out = ["__tz_valid", "__tz_first_rank"] + (
+            ["__tz_ranks"] if include_all else []
+        )
+        for reserved in reserved_out:
             if reserved in df.columns:
                 raise ValueError(
                     f"input column {reserved!r} collides with the probe's "
