@@ -1049,6 +1049,63 @@ def q_image_features(spark, sf_dir):
     ).orderBy("image_id")
 
 
+def q_image_resize(spark, sf_dir):
+    """Multimodal: nearest-neighbor resize (16x12) of real decoded
+    pixels, re-encoded in the row's own format (q6 re-encodes as raw —
+    multimodal.resize_images).
+
+    STAGE-ORACLED (round 5): the SOURCE decode table is staged; the
+    query runs the real resize operator, decodes the operator's own
+    output bytes, and emits integer position-weighted channel checksums
+    (sum and Σ px[i]·(i+1) — position-sensitive, so any wrong gather
+    index changes the value); the DuckDB oracle recomputes the expected
+    resized pixels from the staged source pixels with the same integer
+    index math (yi = (oy*h)//12, xi = (ox*w)//16, src = yi*w+xi) in
+    pure SQL. All quantities are integer-exact in both engines; the
+    binary encode/decode round-trip stays pytest-pinned."""
+    from tzengine import images as imagesmod
+    from tzengine.fixtures import geo_images_df
+    from tzengine.pipeline.multimodal import image_decode_table, resize_images
+
+    df = geo_images_df(spark, 120, partitions=8)
+    _stage(spark, image_decode_table(df), "resize_src", persist=False)
+    out = resize_images(df, 16, 12)
+
+    def sums(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                img = imagesmod.decode(
+                    bytes(r.bytes), r.fmt, int(r.w), int(r.h)
+                )
+                flat = img.reshape(-1, 3).astype(np.int64)
+                wgt = np.arange(1, flat.shape[0] + 1, dtype=np.int64)
+                rows.append(
+                    (
+                        r.image_id, r.fmt, flat.shape[0],
+                        int(flat[:, 0].sum()), int((flat[:, 0] * wgt).sum()),
+                        int(flat[:, 1].sum()), int((flat[:, 1] * wgt).sum()),
+                        int(flat[:, 2].sum()), int((flat[:, 2] * wgt).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "fmt", "n_px", "sum_r", "wsum_r",
+                    "sum_g", "wsum_g", "sum_b", "wsum_b",
+                ],
+            )
+
+    schema = (
+        "image_id string, fmt string, n_px long, sum_r long, wsum_r long, "
+        "sum_g long, wsum_g long, sum_b long, wsum_b long"
+    )
+    return out.mapInPandas(sums, schema).orderBy("image_id")
+
+
 def q_phash_neardup(spark, sf_dir):
     """Image near-dup pairs on the perceptual hash ((d+1)-block pigeonhole
     bucketing + exact bit_count verify) — STAGE-ORACLED: the xxhash64
@@ -1748,6 +1805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pytest-pinned; all downstream math value-verified on the
         # staged decode tables)
         "image_features": q_image_features,
+        "image_resize": q_image_resize,
         "audio_features": q_audio_features,
         "video_frame_sample": q_video_frame_sample,
         "payload_verify": q_payload_verify,
@@ -2132,6 +2190,34 @@ def oracle_sql() -> dict[str, str]:
                    max(mse_num) AS max_mse_num,
                    max(n_px) AS n_px
             FROM v GROUP BY fmt ORDER BY fmt
+        """,
+        # image_resize: expected output pixels recomputed from the STAGED
+        # source decode table with the operator's integer index math
+        # (yi=(oy*h)//12, xi=(ox*w)//16, row-major src=yi*w+xi); the
+        # position-weighted checksums make any wrong gather index change
+        # the value. All integer-exact.
+        "image_resize": f"""
+            WITH t AS (SELECT image_id, w, h, fmt, r_px, g_px, b_px
+                       FROM read_parquet('{_stage_glob("resize_src")}')),
+            e AS (
+              SELECT image_id,
+                     CASE WHEN fmt = 'q6' THEN 'raw' ELSE fmt END AS fmt,
+                     list_transform(range(0, 192), i ->
+                        ((i // 16) * h) // 12 * w + ((i % 16) * w) // 16 + 1
+                     ) AS src_i,
+                     r_px, g_px, b_px
+              FROM t)
+            SELECT image_id, fmt, CAST(192 AS BIGINT) AS n_px,
+              CAST(list_sum(list_transform(src_i, s -> r_px[s])) AS BIGINT) AS sum_r,
+              CAST(list_sum(list_transform(range(1, 193),
+                   j -> r_px[src_i[j]] * j)) AS BIGINT) AS wsum_r,
+              CAST(list_sum(list_transform(src_i, s -> g_px[s])) AS BIGINT) AS sum_g,
+              CAST(list_sum(list_transform(range(1, 193),
+                   j -> g_px[src_i[j]] * j)) AS BIGINT) AS wsum_g,
+              CAST(list_sum(list_transform(src_i, s -> b_px[s])) AS BIGINT) AS sum_b,
+              CAST(list_sum(list_transform(range(1, 193),
+                   j -> b_px[src_i[j]] * j)) AS BIGINT) AS wsum_b
+            FROM e ORDER BY image_id
         """,
         "image_features": f"""
             WITH t AS (SELECT * FROM read_parquet('{_stage_glob("image_decode")}')),
