@@ -556,9 +556,13 @@ def knn_zones_batch(
 
     if eval_chunk is None:
         # candidates evaluated per point per round: large enough to find
-        # k zones in round 1 (so kth activates pruning immediately),
-        # small enough not to over-evaluate once kth is set
-        eval_chunk = max(int(k), 4)
+        # k zones quickly (so kth activates pruning), small enough not
+        # to over-evaluate once kth is set. Re-tuned in round 5 after
+        # the batched-Vincenty/pre-prune work made evals cheap relative
+        # to rounds: chunk = k beats k+1 on the 20k/454 bench (1.80 s /
+        # 135k evals vs 1.94 s / 167k at chunk 4, k=3) — the floor of 3
+        # keeps k=1 from starving round-1 zone discovery
+        eval_chunk = max(int(k), 3)
 
     pool_pt = np.empty(0, dtype=np.int64)
     pool_rank = np.empty(0, dtype=np.int64)
@@ -635,12 +639,35 @@ def knn_zones_batch(
             )
             ranks_e = flat_order[seg]
             rep_pt = np.repeat(pe, lens)
-            pb = bound_pair(
-                lats[rep_pt], lons[rep_pt], idx.piece_bbox[ranks_e]
+            bb_e = idx.piece_bbox[ranks_e]
+            # trig-free lat-delta pre-prune (round 5): the central angle
+            # is >= |delta-phi|, so R_GEO_LB * rad(lat-clamp distance)
+            # lower-bounds the geodesic bound itself. A member already
+            # past the point's kth on latitude alone can never become
+            # live (kth only shrinks) — drop it before the full trig
+            # bound and before it ever costs pool bookkeeping. (Planar
+            # metric: dy alone lower-bounds sqrt(dx^2+dy^2) the same
+            # way, in degrees.)
+            dlat = np.maximum(
+                np.maximum(
+                    bb_e[:, 1] - lats[rep_pt], lats[rep_pt] - bb_e[:, 3]
+                ),
+                0.0,
             )
-            pool_pt = np.concatenate([pool_pt, rep_pt])
-            pool_rank = np.concatenate([pool_rank, ranks_e])
-            pool_bound = np.concatenate([pool_bound, pb])
+            if geo_batched:
+                lat_lb = geom.R_GEO_LB * np.radians(dlat)
+            else:
+                lat_lb = dlat
+            alive = lat_lb <= kth[rep_pt]
+            if not alive.all():
+                rep_pt, ranks_e, bb_e = (
+                    rep_pt[alive], ranks_e[alive], bb_e[alive]
+                )
+            if len(rep_pt):
+                pb = bound_pair(lats[rep_pt], lons[rep_pt], bb_e)
+                pool_pt = np.concatenate([pool_pt, rep_pt])
+                pool_rank = np.concatenate([pool_rank, ranks_e])
+                pool_bound = np.concatenate([pool_bound, pb])
 
         if not len(pool_pt):
             continue
@@ -734,22 +761,28 @@ def knn_zones_batch(
                 n_eval += len(t_pt)
 
             # per-(point, zone) bests + k-th zone distance, INCREMENTAL
-            # (round 5): merge the previous round's deduped bests with
-            # only this round's evals — min over (prev best, new) equals
-            # min over all evals, and the lexsort shrinks from
-            # |all evals so far| to |distinct (pt, zone)| + |new|
+            # (round 5): only the rows of points TOUCHED this round are
+            # re-deduped/re-sorted — merging the previous bests of
+            # touched points with the new evals preserves the per-(pt,
+            # zone) min, untouched points' bests (and kth) are already
+            # final for this round, and late rounds touch few points
             if A is None:
-                A_pt, A_dist, A_rank = t_pt, dists, t_rank
+                m_pt, m_dist, m_rank = t_pt, dists, t_rank
+                u_hold = None
             else:
-                A_pt = np.concatenate([A[0], t_pt])
-                A_dist = np.concatenate([A[1], dists])
-                A_rank = np.concatenate([A[2], t_rank])
-            A_zone = zone_of_rank[A_rank]
-            o1 = np.lexsort((A_rank, A_dist, A_zone, A_pt))
-            p1, z1, d1, r1 = A_pt[o1], A_zone[o1], A_dist[o1], A_rank[o1]
+                touched = np.zeros(n, dtype=bool)
+                touched[t_pt] = True
+                tm = touched[A[0]]
+                u_hold = (A[0][~tm], A[1][~tm], A[2][~tm], A[3][~tm])
+                m_pt = np.concatenate([A[0][tm], t_pt])
+                m_dist = np.concatenate([A[1][tm], dists])
+                m_rank = np.concatenate([A[2][tm], t_rank])
+            m_zone = zone_of_rank[m_rank]
+            o1 = np.lexsort((m_rank, m_dist, m_zone, m_pt))
+            p1, z1, d1, r1 = m_pt[o1], m_zone[o1], m_dist[o1], m_rank[o1]
             first = np.r_[True, (p1[1:] != p1[:-1]) | (z1[1:] != z1[:-1])]
             bp, bd, br, bz = p1[first], d1[first], r1[first], z1[first]
-            A = (bp, bd, br, bz)  # stored as (pt, dist, rank, zone) bests
+            # kth update — only touched points can have a new k-th
             o2 = np.lexsort((bd, bp))
             p2, d2 = bp[o2], bd[o2]
             new_seg2 = np.r_[True, p2[1:] != p2[:-1]]
@@ -758,6 +791,15 @@ def knn_zones_batch(
             pos2 = np.arange(len(p2)) - seg_start2[seg_id2]
             at_k = pos2 == (k - 1)
             kth[p2[at_k]] = d2[at_k]
+            if u_hold is None:
+                A = (bp, bd, br, bz)  # (pt, dist, rank, zone) bests
+            else:
+                A = (
+                    np.concatenate([u_hold[0], bp]),
+                    np.concatenate([u_hold[1], bd]),
+                    np.concatenate([u_hold[2], br]),
+                    np.concatenate([u_hold[3], bz]),
+                )
         keep = pool_bound <= kth[pool_pt]
         if len(take):
             keep[take] = False
