@@ -214,3 +214,46 @@ def test_streaming_dedup_quiet_key_state_reclaimed(spark, tmp_path):
         assert q.lastProgress["stateOperators"][0]["numRowsTotal"] == 0
     finally:
         q.stop()
+
+
+def test_streaming_assign_arrow_impl(spark, tmp_path):
+    """The mapInArrow probe (round 5's impl="auto" on narrow inputs)
+    must also work inside Structured Streaming micro-batches — a
+    streaming (lat, lon) source resolves to the arrow plan and assigns
+    the same zones the batch path does."""
+    from pyspark.sql import functions as F
+
+    from tzengine.engine import TzEngine
+    from tzengine.zones import synthetic_world
+
+    eng = TzEngine.for_everywhere(spark, synthetic_world(), world_version="s1")
+    src = str(tmp_path / "pts")
+    rows = [((i % 1987) / 200.0, (i * 7 % 1993) / 200.0) for i in range(500)]
+    spark.createDataFrame(rows, "lat double, lon double").write.parquet(src)
+    stream = spark.readStream.schema("lat double, lon double").parquet(src)
+    assert TzEngine._pick_probe_impl(stream, "lat", "lon") == "arrow"
+    out = eng.assign_timezones(stream, mode="pipeline")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("assign_arrow_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_arrow"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.lat, r.lon): r.tzid
+            for r in spark.sql("select * from assign_arrow_stream").collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        (r.lat, r.lon): r.tzid
+        for r in eng.assign_timezones(
+            spark.createDataFrame(rows, "lat double, lon double"),
+            mode="pipeline",
+        ).collect()
+    }
+    assert len(got) == len(batch) == 500
+    assert got == batch
