@@ -895,8 +895,17 @@ def main() -> None:
     loads32 = []
     steals32 = []
     best_el32 = None
-    for _attempt in range(2):
-        el32, n_rows, load32, _, st32 = _assign_pinned(cores, sf_dir)
+    attempts32 = 0
+    while best_el32 is None or attempts32 < 2:
+        attempts32 += 1
+        if attempts32 > 4:  # 2 planned attempts + up to 2 crash retries
+            raise RuntimeError("32-core ladder leg failed repeatedly")
+        try:
+            el32, n_rows, load32, _, st32 = _assign_pinned(cores, sf_dir)
+        except (RuntimeError, json.JSONDecodeError,
+                subprocess.TimeoutExpired):
+            round_child_retries += 1
+            continue
         loads32.append(load32)
         steals32.append(st32)
         best_el32 = el32 if best_el32 is None else min(best_el32, el32)
@@ -909,10 +918,19 @@ def main() -> None:
     floor_sec = None
     loads10 = []
     steals10 = []
-    for _attempt in range(2):
-        el10, _n10, l10, fl10, st10 = _assign_pinned(
-            cores, sf_dir, replicate=REPLICATE, with_floor=True
-        )
+    attempts10 = 0
+    while best_el10 is None or attempts10 < 2:
+        attempts10 += 1
+        if attempts10 > 4:
+            raise RuntimeError("assign_geo child failed repeatedly")
+        try:
+            el10, _n10, l10, fl10, st10 = _assign_pinned(
+                cores, sf_dir, replicate=REPLICATE, with_floor=True
+            )
+        except (RuntimeError, json.JSONDecodeError,
+                subprocess.TimeoutExpired):
+            round_child_retries += 1
+            continue
         loads10.append(l10)
         steals10.append(st10)
         if best_el10 is None or el10 < best_el10:
