@@ -89,11 +89,12 @@ REPLICATE = 10  # points per lineitem row — amortizes fixed per-job costs
 # throughput, shrinking the 8-core leg to ~1.5 s where the ~0.15 s
 # fixed cost alone skewed the measured ratio down by ~6% (measured:
 # 0.803 raw vs 0.864 with the fixed cost subtracted at replicate 20;
-# at 60 the residual skew is ~2%). Throughput (rows/sec) stays
+# at 48 the residual skew is ~3%). Throughput (rows/sec) stays
 # directly comparable across replicate factors; the per-query walls
 # in "queries" keep REPLICATE=10 so they remain comparable
-# round-over-round.
-LADDER_REPLICATE = 60
+# round-over-round. (60 was measured equivalent but pushed the whole
+# bench past an hour of wall; 48 keeps the session under ~50 min.)
+LADDER_REPLICATE = 48
 
 # paired (2, 8) scaling rounds: 5 (r3 used 3 — with 3, two loaded draws
 # sink the median; with 5 the median survives two; VERDICT r3 #2)
@@ -643,7 +644,7 @@ def _kernel_ladder_child(cores: int) -> None:
     with ctx.Pool(cores) as pool:
         pool.map(_kernel_worker_run, [(idx, n_per, 0)] * cores)  # warm-up
         best = None
-        for _ in range(3):
+        for _ in range(2):  # coarse control: min-of-2 suffices
             t0 = time.time()
             pool.map(
                 _kernel_worker_run, [(idx, n_per, s) for s in range(cores)]
@@ -896,9 +897,14 @@ def main() -> None:
     steals32 = []
     best_el32 = None
     attempts32 = 0
-    while best_el32 is None or attempts32 < 2:
+    while best_el32 is None or (
+        # a second attempt only when the first window was steal-polluted
+        # (min-of-5 in-child already; an extra CLEAN attempt could only
+        # chase a luckier min, so skipping it is conservative)
+        attempts32 < 2 and (steals32[-1] or 0) > 0.5
+    ):
         attempts32 += 1
-        if attempts32 > 4:  # 2 planned attempts + up to 2 crash retries
+        if attempts32 > 4:  # planned attempts + up to 2 crash retries
             raise RuntimeError("32-core ladder leg failed repeatedly")
         try:
             el32, n_rows, load32, _, st32 = _assign_pinned(cores, sf_dir)
@@ -919,7 +925,9 @@ def main() -> None:
     loads10 = []
     steals10 = []
     attempts10 = 0
-    while best_el10 is None or attempts10 < 2:
+    while best_el10 is None or (
+        attempts10 < 2 and (steals10[-1] or 0) > 0.5
+    ):
         attempts10 += 1
         if attempts10 > 4:
             raise RuntimeError("assign_geo child failed repeatedly")
