@@ -41,31 +41,30 @@ def cell_of_expr(lat_col, lon_col, res: int):
     if not 0 <= res <= cells.MAX_RES:  # same contract as cells.cell_of
         raise ValueError(f"resolution must be in [0, {cells.MAX_RES}]")
     n = 1 << res
-    ix = F.least(
-        F.greatest(
-            ((F.col(lon_col) + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
-            .cast("long"),
-            F.lit(0),
-        ),
-        F.lit(n - 1),
+    # ONE parsed SQL expression (round 6): the Column-API tree cost ~50
+    # py4j round trips per assign_timezones invocation — driver plan-
+    # building time the frozen bench times on every re-invoked query.
+    # The `D` suffix matters: a bare SQL float literal parses as DECIMAL,
+    # which would change the arithmetic; `180.0D` is the same IEEE double
+    # F.lit(180.0) produced (parity pinned in test_engine_spark).
+    ix = (
+        f"least(greatest(CAST(((`{lon_col}` + 180.0D) / 360.0D * "
+        f"{float(n)!r}D) AS BIGINT), 0), {n - 1})"
     )
-    iy = F.least(
-        F.greatest(
-            ((F.col(lat_col) + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n)))
-            .cast("long"),
-            F.lit(0),
-        ),
-        F.lit(n - 1),
+    iy = (
+        f"least(greatest(CAST(((`{lat_col}` + 90.0D) / 180.0D * "
+        f"{float(n)!r}D) AS BIGINT), 0), {n - 1})"
     )
-    morton = F.lit(0).cast("long") if res == 0 else None
-    for b in range(res):
-        tx = F.shiftleft(F.shiftrightunsigned(ix, b).bitwiseAND(F.lit(1)), 2 * b)
-        ty = F.shiftleft(
-            F.shiftrightunsigned(iy, b).bitwiseAND(F.lit(1)), 2 * b + 1
-        )
-        piece = tx.bitwiseOR(ty)
-        morton = piece if morton is None else morton.bitwiseOR(piece)
-    return F.shiftleft(F.lit(res).cast("long"), 58).bitwiseOR(morton)
+    if res == 0:
+        morton = "CAST(0 AS BIGINT)"
+    else:
+        terms = []
+        for b in range(res):
+            tx = f"shiftleft((shiftrightunsigned({ix}, {b}) & 1), {2 * b})"
+            ty = f"shiftleft((shiftrightunsigned({iy}, {b}) & 1), {2 * b + 1})"
+            terms.append(f"({tx} | {ty})")
+        morton = "(" + " | ".join(terms) + ")"
+    return F.expr(f"shiftleft(CAST({res} AS BIGINT), 58) | {morton}")
 
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
@@ -458,7 +457,15 @@ class TzEngine:
         # deterministic shard assignment (xxhash64 of the cell id).
         # Invalid rows (out-of-region / NaN, pipeline mode) carry sentinel
         # values from Python and are nulled here.
-        zone_lit = F.array(*[F.lit(z) for z in self.idx.zone_ids])
+        # One parsed array literal (round 6): F.array(*[F.lit(z) ...]) is
+        # one py4j round trip PER ZONE — ~0.5 s of driver plan-building
+        # for the 454-piece world on every assign_timezones call.
+        zone_lit = F.expr(
+            "array("
+            + ", ".join("'" + z.replace("'", "''") + "'"
+                        for z in self.idx.zone_ids)
+            + ")"
+        )
         maybe_tzids = (
             [
                 F.when(

@@ -54,15 +54,19 @@ def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFram
     sequence(1, size-(n-1)) with a negative stop is a DESCENDING sequence
     in Spark ([1,0]), and slice(words, 0, n) then throws
     INVALID_PARAMETER_VALUE.START — CaseWhen branches evaluate lazily per
-    row, so short (and null) docs never reach the sequence."""
-    words = F.split(F.col(text_col), " ")
-    n_sh = F.size(words) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), n_sh),
-        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-    )
-    shingles = F.when(n_sh >= 1, grams).otherwise(
-        F.array().cast("array<string>")
+    row, so short (and null) docs never reach the sequence.
+
+    Built as ONE parsed SQL expression (round 6): the equivalent Column-
+    API tree costs ~30 py4j round trips of driver time per invocation;
+    the parsed string is one. The expression AST (and therefore every
+    value) is identical — split/sequence/transform/slice/concat_ws with
+    the same argument types."""
+    w = f"split(`{text_col}`, ' ')"
+    shingles = F.expr(
+        f"CASE WHEN size({w}) - {n - 1} >= 1 THEN "
+        f"transform(sequence(1, size({w}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({w}, i, {n}))) "
+        f"ELSE CAST(array() AS array<string>) END"
     )
     return df.withColumn("shingles", shingles)
 
@@ -155,8 +159,14 @@ def minhash_signatures(
         word_shingles(df.select(id_col, text_col), text_col, n)
         .select(id_col, F.explode(F.array_distinct("shingles")).alias("shingle"))
     )
+    # one parsed expression per permutation (round 6): the Column-API
+    # form (min(xxhash64(lit(i), col))) costs ~5 py4j round trips per
+    # hash — ~160 per invocation of driver-side plan-building time that
+    # the frozen bench times on every run; the parsed strings are
+    # num_hashes calls with the identical AST (int literal + string
+    # column into xxhash64, exactly as before)
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
+        F.expr(f"min(xxhash64({i}, shingle)) AS mh_{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)
@@ -205,20 +215,27 @@ def minhash_band_pairs(
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
 
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bucket"))
+    # plan-building cost matters here (round 6): this function is re-
+    # invoked per bench run, and the Column-API form cost ~0.7 s of py4j
+    # round trips on a quiet driver (worse under load — driver planning
+    # is single-threaded). Every expression below is a parsed SQL string
+    # with the IDENTICAL AST and types the Column form produced.
+    structs = ", ".join(
+        "named_struct('band', {b}, 'bucket', xxhash64({cols}))".format(
+            b=b,
+            cols=", ".join(
+                f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
         )
+        for b in range(bands)
+    )
     # the candidate self-join carries ONLY (id, band, bucket): shuffling
     # all num_hashes signature columns through the bands-times-exploded
     # join costs ~bands x num_hashes longs per doc per side; joining the
     # signatures back onto the (few) surviving pairs is ~8x fewer bytes
     # through the big exchange
     buckets = sig.select(
-        F.col(id_col),
-        F.explode(F.array(*band_cols)).alias("bb"),
+        F.col(id_col), F.expr(f"explode(array({structs}))").alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
 
     a = buckets.alias("a")
@@ -226,28 +243,29 @@ def minhash_band_pairs(
     pairs = (
         a.join(
             b2,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            F.expr(
+                f"a.band = b.band AND a.bucket = b.bucket "
+                f"AND a.`{id_col}` < b.`{id_col}`"
+            ),
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
+        .selectExpr(f"a.`{id_col}` AS id_a", f"b.`{id_col}` AS id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    sa = sig.select(
-        F.col(id_col).alias("id_a"),
-        *[F.col(f"mh_{i}").alias(f"a_mh_{i}") for i in range(num_hashes)],
+    sa = sig.selectExpr(
+        f"`{id_col}` AS id_a",
+        *[f"mh_{i} AS a_mh_{i}" for i in range(num_hashes)],
     )
-    sb = sig.select(
-        F.col(id_col).alias("id_b"),
-        *[F.col(f"mh_{i}").alias(f"b_mh_{i}") for i in range(num_hashes)],
+    sb = sig.selectExpr(
+        f"`{id_col}` AS id_b",
+        *[f"mh_{i} AS b_mh_{i}" for i in range(num_hashes)],
     )
-    est = sum(
-        (F.col(f"a_mh_{i}") == F.col(f"b_mh_{i}")).cast("int")
-        for i in range(num_hashes)
-    ) / F.lit(num_hashes)
+    est = F.expr(
+        "("
+        + " + ".join(
+            f"CAST(a_mh_{i} = b_mh_{i} AS int)" for i in range(num_hashes)
+        )
+        + f") / {num_hashes}"
+    )
     out = (
         pairs.join(sa, "id_a")
         .join(sb, "id_b")
