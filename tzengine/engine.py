@@ -397,33 +397,49 @@ class TzEngine:
 
         bc = self._bc
 
+        # rank transport dtype: int16 whenever the piece count fits
+        # (guide §2.3 — narrower types, half the Arrow-boundary bytes);
+        # both impls share it so results stay bit-identical
+        rank_t = (
+            T.ShortType()
+            if probemod.rank_dtype(self.idx) == np.int16
+            else T.IntegerType()
+        )
+
         if impl == "arrow":
             res = self._probe_arrow_mapped(
-                df, lat_col, lon_col, mode, include_all
+                df, lat_col, lon_col, mode, include_all, rank_t
             )
             valid_c = F.col("__tz_valid")
-            first_c = F.col("__tz_first_rank")
-            ranks_c = F.col("__tz_ranks") if include_all else None
-            drop_cols = ["__tz_valid", "__tz_first_rank"] + (
-                ["__tz_ranks"] if include_all else []
-            )
-        else:
-            fields = [
-                T.StructField("valid", T.BooleanType()),
-                T.StructField("first_rank", T.IntegerType()),
-            ]
             if include_all:
-                fields.append(
-                    T.StructField("ranks", T.ArrayType(T.IntegerType()))
-                )
+                # first rank is NOT shipped from Python when the rank
+                # list already crosses the boundary (round 6): derive it
+                # JVM-side — one array access vs 2-4 bytes/row transport
+                first_c = F.get(F.col("__tz_ranks"), F.lit(0))
+                ranks_c = F.col("__tz_ranks")
+                drop_cols = ["__tz_valid", "__tz_ranks"]
+            else:
+                first_c = F.col("__tz_first_rank")
+                ranks_c = None
+                drop_cols = ["__tz_valid", "__tz_first_rank"]
+        else:
+            fields = [T.StructField("valid", T.BooleanType())]
+            if include_all:
+                fields.append(T.StructField("ranks", T.ArrayType(rank_t)))
+            else:
+                fields.append(T.StructField("first_rank", rank_t))
             probe_schema = T.StructType(fields)
+            pa_rank = (
+                pa.int16() if isinstance(rank_t, T.ShortType) else pa.int32()
+            )
 
             @F.pandas_udf(probe_schema)
             def _probe(lat: pd.Series, lon: pd.Series) -> pd.DataFrame:
                 # Arrow-native fast path: only ints cross the Python
-                # boundary (first_rank, rank list); zone-name strings are
-                # attached and the probe-res cell id is Morton-encoded
-                # JVM-side (cell_of_expr). No per-row Python.
+                # boundary (rank list, or the lone first rank); zone-name
+                # strings are attached and the probe-res cell id is
+                # Morton-encoded JVM-side (cell_of_expr). No per-row
+                # Python.
                 idx = bc.value
                 lats = lat.to_numpy(dtype=np.float64)
                 lons = lon.to_numpy(dtype=np.float64)
@@ -434,13 +450,14 @@ class TzEngine:
                     "valid": pd.Series(
                         pa.array(valid), dtype=pd.ArrowDtype(pa.bool_())
                     ),
-                    "first_rank": pd.Series(
-                        first_arr, dtype=pd.ArrowDtype(pa.int32())
-                    ),
                 }
                 if include_all:
                     cols["ranks"] = pd.Series(
-                        list_arr, dtype=pd.ArrowDtype(pa.list_(pa.int32()))
+                        list_arr, dtype=pd.ArrowDtype(pa.list_(pa_rank))
+                    )
+                else:
+                    cols["first_rank"] = pd.Series(
+                        first_arr, dtype=pd.ArrowDtype(pa_rank)
                     )
                 return pd.DataFrame(cols)
 
@@ -448,8 +465,12 @@ class TzEngine:
                 "__tz", _probe(F.col(lat_col), F.col(lon_col))
             )
             valid_c = F.col("__tz.valid")
-            first_c = F.col("__tz.first_rank")
-            ranks_c = F.col("__tz.ranks") if include_all else None
+            if include_all:
+                first_c = F.get(F.col("__tz.ranks"), F.lit(0))
+                ranks_c = F.col("__tz.ranks")
+            else:
+                first_c = F.col("__tz.first_rank")
+                ranks_c = None
             drop_cols = ["__tz"]
 
         # JVM-side rank -> zone-name mapping (element_at over a literal
@@ -478,12 +499,20 @@ class TzEngine:
             if include_all
             else []
         )
+        # include_all: first_c = get(ranks, 0), NULL when no match (the
+        # shipped sentinel was -1 — both map to a NULL tzid below);
+        # Q1-only: the shipped first_rank keeps the -1 sentinel
+        tzid_cond = (
+            valid_c & first_c.isNotNull()
+            if include_all
+            else valid_c & (first_c >= 0)
+        )
         cell_expr = cell_of_expr(lat_col, lon_col, probe_res)
         return (
             res.select(
                 "*",
                 F.when(
-                    valid_c & (first_c >= 0),
+                    tzid_cond,
                     F.element_at(zone_lit, first_c + 1),
                 ).alias("tzid"),
                 *maybe_tzids,
@@ -539,19 +568,22 @@ class TzEngine:
         lon_col: str,
         mode: str,
         include_all: bool,
+        rank_t,
     ) -> DataFrame:
         """mapInArrow probe (VERDICT r4 #4): the kernel's native pyarrow
         outputs (probe_arrow) are appended to each RecordBatch directly —
         no pandas Series/ArrowDtype wrapping, no struct assembly. All
         input columns pass through the Python worker (Arrow columnar
         passthrough — cheap for narrow probe inputs, the reason this is
-        opt-in rather than the default for wide rows)."""
+        opt-in rather than the default for wide rows). Round 6: with
+        ``include_all`` only (valid, ranks) cross — first rank is derived
+        JVM-side — and ranks use the narrow ``rank_t`` transport dtype."""
         import pyarrow as pa
 
         bc = self._bc
         in_schema = df.schema
-        reserved_out = ["__tz_valid", "__tz_first_rank"] + (
-            ["__tz_ranks"] if include_all else []
+        reserved_out = ["__tz_valid"] + (
+            ["__tz_ranks"] if include_all else ["__tz_first_rank"]
         )
         for reserved in reserved_out:
             if reserved in df.columns:
@@ -561,14 +593,11 @@ class TzEngine:
                 )
         out_schema = T.StructType(
             list(in_schema.fields)
-            + [
-                T.StructField("__tz_valid", T.BooleanType()),
-                T.StructField("__tz_first_rank", T.IntegerType()),
-            ]
+            + [T.StructField("__tz_valid", T.BooleanType())]
             + (
-                [T.StructField("__tz_ranks", T.ArrayType(T.IntegerType()))]
+                [T.StructField("__tz_ranks", T.ArrayType(rank_t))]
                 if include_all
-                else []
+                else [T.StructField("__tz_first_rank", rank_t)]
             )
         )
         lat_i = df.columns.index(lat_col)
@@ -588,13 +617,14 @@ class TzEngine:
                 valid, first_arr, list_arr = probemod.probe_arrow(
                     idx, lats, lons, mode=mode, with_all=include_all
                 )
-                arrays = list(batch.columns) + [pa.array(valid), first_arr]
-                names = list(batch.schema.names) + [
-                    "__tz_valid", "__tz_first_rank",
-                ]
+                arrays = list(batch.columns) + [pa.array(valid)]
+                names = list(batch.schema.names) + ["__tz_valid"]
                 if include_all:
                     arrays.append(list_arr)
                     names.append("__tz_ranks")
+                else:
+                    arrays.append(first_arr)
+                    names.append("__tz_first_rank")
                 yield pa.RecordBatch.from_arrays(arrays, names=names)
 
         return df.mapInArrow(probe_batches, out_schema)

