@@ -1030,9 +1030,18 @@ def _bbox_geo_lb_core(lats, lons, lo_lon, lo_lat, hi_lon, hi_lat):
         np.clip(phi_star, lo_lat, hi_lat),
         np.clip(lats, lo_lat, hi_lat),
     )
+    # inlined haversine with the candidate-invariant terms hoisted
+    # (round 6): cos(phi_p) and sin²(Δλ/2) are identical across the four
+    # candidate latitudes, so computing them once saves ~40% of this
+    # bound's trig — the per-candidate values are BIT-IDENTICAL to the
+    # former _haversine_angle calls (same ops on the same doubles, just
+    # not recomputed).
+    cos_p = np.cos(phi_p)
     ang = None
     for cl in cand_lats:
-        a = _haversine_angle(lats, np.zeros_like(dlon), cl, dlon)
+        p2 = np.radians(cl)
+        h = np.sin((p2 - phi_p) / 2.0) ** 2 + cos_p * np.cos(p2) * s
+        a = 2.0 * np.arcsin(np.sqrt(np.clip(h, 0.0, 1.0)))
         ang = a if ang is None else np.minimum(ang, a)
     return R_GEO_LB * ang
 

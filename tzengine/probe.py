@@ -414,6 +414,92 @@ def distance_from_boundary_batch(
     return out
 
 
+def _nearest_feet_flat(
+    idx: CompiledIndex,
+    pair_lon: np.ndarray,
+    pair_lat: np.ndarray,
+    pair_rank: np.ndarray,
+    pair_chunk: int = 1 << 19,
+):
+    """Planar-nearest boundary coordinate of piece ``pair_rank[i]`` for
+    point ``(pair_lon[i], pair_lat[i])``, vectorized over ALL pairs via
+    the index's flat segment CSR (round 6: replaces one
+    geom.nearest_boundary_point call per piece — 1277 calls of ~90 rows
+    each on the kNN bench, whose per-call overhead was ~20% of the
+    kernel wall).
+
+    Bit-identical per pair to geom.nearest_boundary_point: the same
+    segments in the same order (compile stored geom._segments output;
+    float32 storage is lossless by construction and upcast before any
+    arithmetic), the same foot AST, and the same FIRST-minimum tie-break
+    (position of the first d² equal to the exact segment-run minimum —
+    np.minimum.reduceat performs only comparisons, so the run minimum is
+    one of the original floats and the equality test is exact).
+
+    Returns (fx, fy, d2min) each (n_pairs,) float64 — d2min is the
+    squared planar degree distance (sqrt of it == the planar metric).
+    Requires every piece to have at least one segment (callers fall back
+    to the per-piece path otherwise)."""
+    n_pairs = len(pair_rank)
+    fx = np.empty(n_pairs)
+    fy = np.empty(n_pairs)
+    d2m = np.empty(n_pairs)
+    # per-index cache of float64 segment components + the pair-invariant
+    # dx/dy/len2 (len2 stays a gathered-then-computed EXACT product of
+    # the same doubles, so t's division is bit-identical)
+    flat = getattr(idx, "_seg_flat", None)
+    if flat is None:
+        s_ax = np.ascontiguousarray(idx.seg_a[:, 0], dtype=np.float64)
+        s_ay = np.ascontiguousarray(idx.seg_a[:, 1], dtype=np.float64)
+        s_bx = np.ascontiguousarray(idx.seg_b[:, 0], dtype=np.float64)
+        s_by = np.ascontiguousarray(idx.seg_b[:, 1], dtype=np.float64)
+        s_dx = s_bx - s_ax
+        s_dy = s_by - s_ay
+        s_len2 = s_dx * s_dx + s_dy * s_dy
+        flat = (s_ax, s_ay, s_dx, s_dy, s_len2)
+        object.__setattr__(idx, "_seg_flat", flat)
+    s_ax, s_ay, s_dx, s_dy, s_len2 = flat
+    k_all = (
+        idx.seg_offsets[pair_rank + 1] - idx.seg_offsets[pair_rank]
+    ).astype(np.int64)
+    cum = np.cumsum(k_all)
+    start = 0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        while start < n_pairs:
+            base = int(cum[start - 1]) if start else 0
+            end = int(np.searchsorted(cum, base + pair_chunk, side="left")) + 1
+            end = min(max(end, start + 1), n_pairs)
+            k = k_all[start:end]
+            total = int(cum[end - 1] - base)
+            rep = np.repeat(np.arange(end - start), k)
+            run_starts = (np.cumsum(k) - k).astype(np.int64)
+            seg_pos = np.repeat(
+                idx.seg_offsets[pair_rank[start:end]], k
+            ) + (np.arange(total) - np.repeat(run_starts, k))
+            ax = s_ax[seg_pos]
+            ay = s_ay[seg_pos]
+            dx = s_dx[seg_pos]
+            dy = s_dy[seg_pos]
+            len2 = s_len2[seg_pos]
+            px = pair_lon[start:end][rep]
+            py = pair_lat[start:end][rep]
+            t = ((px - ax) * dx + (py - ay) * dy) / len2
+            t = np.where(len2 > 0, np.clip(t, 0.0, 1.0), 0.0)
+            cx = ax + t * dx
+            cy = ay + t * dy
+            d2 = (px - cx) ** 2 + (py - cy) ** 2
+            dmin = np.minimum.reduceat(d2, run_starts)
+            pos = np.arange(total)
+            first = np.minimum.reduceat(
+                np.where(d2 == np.repeat(dmin, k), pos, total), run_starts
+            )
+            fx[start:end] = cx[first]
+            fy[start:end] = cy[first]
+            d2m[start:end] = dmin
+            start = end
+    return fx, fy, d2m
+
+
 KNN_GROUP_SIZE = 64  # legacy fixed size; None in knn_zones_batch = adaptive
 
 
@@ -649,12 +735,23 @@ def knn_zones_batch(
             gs = order_g[pe, gptr[pe]]
             gptr[pe] += 1
             lens = member_lens[gs]
-            # gather each group's member ranks without a per-point loop
-            seg = np.repeat(member_offs[gs], lens) + (
-                np.arange(int(lens.sum())) - np.repeat(np.cumsum(lens) - lens, lens)
-            )
-            ranks_e = flat_order[seg]
-            rep_pt = np.repeat(pe, lens)
+            # gather each group's member ranks without a per-point loop;
+            # uniform-length groups (every group but possibly the last)
+            # take a single 2D broadcast gather instead of the
+            # three-repeat CSR construction (round 6)
+            if lens.min() == lens.max():
+                L = int(lens[0])
+                ranks_e = flat_order[
+                    member_offs[gs][:, None] + np.arange(L)
+                ].ravel()
+                rep_pt = np.repeat(pe, L)
+            else:
+                seg = np.repeat(member_offs[gs], lens) + (
+                    np.arange(int(lens.sum()))
+                    - np.repeat(np.cumsum(lens) - lens, lens)
+                )
+                ranks_e = flat_order[seg]
+                rep_pt = np.repeat(pe, lens)
             bb_e = idx.piece_bbox[ranks_e]
             # trig-free lat-delta pre-prune (round 5): the central angle
             # is >= |delta-phi|, so R_GEO_LB * rad(lat-clamp distance)
@@ -715,33 +812,40 @@ def knn_zones_batch(
             t_rank = pool_rank[take]
             ro = np.argsort(t_rank, kind="stable")
             t_pt, t_rank = t_pt[ro], t_rank[ro]
-            starts = np.r_[0, np.nonzero(t_rank[1:] != t_rank[:-1])[0] + 1, len(t_rank)]
             dists = np.empty(len(t_pt), dtype=np.float64)
+            # containment came from the probe index in one shot; the
+            # planar-nearest foot for every NOT-contained pair runs as
+            # ONE flat CSR-vectorized call per round (round 6 — the
+            # former per-unique-piece loop paid ~100 µs of call overhead
+            # per piece; results bit-identical, see _nearest_feet_flat).
+            # The foot is metric-independent — the geodesic is measured
+            # to the PLANAR-nearest boundary coordinate, Q5 semantics.
+            inside_all = contained(t_pt, t_rank)
+            outside = np.nonzero(~inside_all)[0]
+            flat_ok = len(outside) == 0 or bool(
+                np.all(
+                    idx.seg_offsets[t_rank[outside] + 1]
+                    > idx.seg_offsets[t_rank[outside]]
+                )
+            )
             if geo_batched:
-                # per piece: planar nearest foot only, and only for the
-                # NOT-contained pairs (containment came from the probe
-                # index in one shot; the foot is metric-independent —
-                # the geodesic is measured to the PLANAR-nearest
-                # boundary coordinate, Q5 semantics); Vincenty runs
-                # once for the whole round
-                inside_all = contained(t_pt, t_rank)
-                feet = np.full((len(t_pt), 2), np.nan)
-                for s, e in zip(starts[:-1], starts[1:]):
-                    out_se = ~inside_all[s:e]
-                    if out_se.any():
-                        r = int(t_rank[s])
-                        rings = idx.piece_rings(r)
-                        feet[s:e][out_se] = geom.nearest_boundary_point(
-                            pts[t_pt[s:e][out_se]], rings
-                        )
                 dists.fill(np.inf)
                 dists[inside_all] = 0.0
-                outside = np.nonzero(~inside_all)[0]
                 if len(outside):
                     plat = lats[t_pt[outside]]
                     plon = lons[t_pt[outside]]
-                    flon = feet[outside, 0]
-                    flat = feet[outside, 1]
+                    if flat_ok:
+                        flon, flat, _d2 = _nearest_feet_flat(
+                            idx, plon, plat, t_rank[outside]
+                        )
+                    else:  # defensive: a piece with no segments
+                        feet = np.full((len(outside), 2), np.nan)
+                        for j, oi in enumerate(outside):
+                            feet[j] = geom.nearest_boundary_point(
+                                pts[t_pt[oi]][None, :],
+                                idx.piece_rings(int(t_rank[oi])),
+                            )
+                        flon, flat = feet[:, 0], feet[:, 1]
                     # prescreen: a pair whose guaranteed lower bound
                     # already exceeds the point's current k-th zone
                     # distance keeps +inf — its true distance is
@@ -764,16 +868,22 @@ def knn_zones_batch(
                 else:
                     n_eval += len(t_pt)
             else:
-                inside_all = contained(t_pt, t_rank)
                 dists.fill(0.0)
-                for s, e in zip(starts[:-1], starts[1:]):
-                    out_se = ~inside_all[s:e]
-                    if out_se.any():
-                        r = int(t_rank[s])
-                        rings = idx.piece_rings(r)
-                        dists[s:e][out_se] = dist_fn(
-                            pts[t_pt[s:e][out_se]], rings
+                if len(outside):
+                    if flat_ok:
+                        _fx, _fy, d2min = _nearest_feet_flat(
+                            idx,
+                            lons[t_pt[outside]],
+                            lats[t_pt[outside]],
+                            t_rank[outside],
                         )
+                        dists[outside] = np.sqrt(d2min)
+                    else:
+                        for oi in outside:
+                            dists[oi] = dist_fn(
+                                pts[t_pt[oi]][None, :],
+                                idx.piece_rings(int(t_rank[oi])),
+                            )[0]
                 n_eval += len(t_pt)
 
             # per-(point, zone) bests + k-th zone distance, INCREMENTAL
@@ -794,9 +904,15 @@ def knn_zones_batch(
                 m_dist = np.concatenate([A[1][tm], dists])
                 m_rank = np.concatenate([A[2][tm], t_rank])
             m_zone = zone_of_rank[m_rank]
-            o1 = np.lexsort((m_rank, m_dist, m_zone, m_pt))
+            # composite (pt, zone) primary key: one stable-sort pass
+            # fewer than the 4-key lexsort (round 6); n_zones bounds the
+            # zone term so the packing is collision-free
+            n_zones = len(zone_names)
+            m_key = m_pt * n_zones + m_zone
+            o1 = np.lexsort((m_rank, m_dist, m_key))
             p1, z1, d1, r1 = m_pt[o1], m_zone[o1], m_dist[o1], m_rank[o1]
-            first = np.r_[True, (p1[1:] != p1[:-1]) | (z1[1:] != z1[:-1])]
+            k1 = m_key[o1]
+            first = np.r_[True, k1[1:] != k1[:-1]]
             bp, bd, br, bz = p1[first], d1[first], r1[first], z1[first]
             # kth update — only touched points can have a new k-th
             o2 = np.lexsort((bd, bp))
