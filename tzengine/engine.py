@@ -242,38 +242,53 @@ class TzEngine:
                 ],
             )
 
-        # input-side duplicate-ordinal check, same contract as
-        # compile_index: checking the OUTPUT (ordinal, comp) keys alone
-        # would miss a duplicate whose twin was dropped by the clip (one
-        # cheap aggregate over the compile-input-sized zones table)
-        dup = (
-            zones_df.groupBy("ordinal")
-            .agg(F.count("*").alias("n"))
-            .filter(F.col("n") > 1)
-            .limit(1)
-            .collect()
-        )
-        if dup:
-            raise ValueError(
-                f"duplicate zone-piece ordinal {dup[0]['ordinal']}: "
-                "ordinals must be globally unique for a deterministic "
-                "area-sort tie-break"
+        # the zones table is consumed TWICE below (duplicate-ordinal
+        # check, then the compile itself) and its lineage usually holds
+        # an expensive opaque parse (geojsonl mapInPandas — column
+        # pruning cannot reach inside it), so without a persist the
+        # whole parse+cleanse ran twice per ingest (round 6: measured
+        # ~40% of the 1M-vertex ingest wall). Persist for the two
+        # actions, release before returning.
+        zones_df = zones_df.persist()
+        try:
+            # input-side duplicate-ordinal check, same contract as
+            # compile_index: checking the OUTPUT (ordinal, comp) keys
+            # alone would miss a duplicate whose twin was dropped by the
+            # clip (one cheap aggregate over the compile-input-sized
+            # zones table)
+            dup = (
+                zones_df.groupBy("ordinal")
+                .agg(F.count("*").alias("n"))
+                .filter(F.col("n") > 1)
+                .limit(1)
+                .collect()
             )
+            if dup:
+                raise ValueError(
+                    f"duplicate zone-piece ordinal {dup[0]['ordinal']}: "
+                    "ordinals must be globally unique for a deterministic "
+                    "area-sort tie-break"
+                )
 
-        # compile fan-out sized to the cluster (was a hardcoded 32):
-        # defaultParallelism == total executor cores, so every core gets
-        # compile work; callers override for very large zone worlds
-        n_parts = compile_partitions or spark.sparkContext.defaultParallelism
-        rows = (
-            zones_df.repartition(n_parts, "zone_id", "polygon_id")
-            .groupBy("zone_id", "polygon_id")
-            .applyInPandas(
-                compile_group,
-                "ordinal int, comp int, zone_id string, polygon_id int, "
-                "pre_area double, blob binary",
+            # compile fan-out sized to the cluster (was a hardcoded 32):
+            # defaultParallelism == total executor cores, so every core
+            # gets compile work; callers override for very large zone
+            # worlds
+            n_parts = (
+                compile_partitions or spark.sparkContext.defaultParallelism
             )
-            .collect()
-        )
+            rows = (
+                zones_df.repartition(n_parts, "zone_id", "polygon_id")
+                .groupBy("zone_id", "polygon_id")
+                .applyInPandas(
+                    compile_group,
+                    "ordinal int, comp int, zone_id string, polygon_id int, "
+                    "pre_area double, blob binary",
+                )
+                .collect()
+            )
+        finally:
+            zones_df.unpersist()
         keys = {(r.ordinal, r.comp) for r in rows}
         if len(keys) != len(rows):
             raise ValueError(

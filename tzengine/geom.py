@@ -126,16 +126,30 @@ def points_in_rings_evenodd(
     UtilTest.java:74-80)."""
     if len(seg_a) == 0 or len(pts) == 0:
         return np.zeros(len(pts), dtype=bool)
+    n = len(pts)
     px = pts[:, 0][:, None]
     py = pts[:, 1][:, None]
     ax, ay = seg_a[:, 0][None, :], seg_a[:, 1][None, :]
     bx, by = seg_b[:, 0][None, :], seg_b[:, 1][None, :]
-    # Half-open rule: segment straddles the horizontal ray at py
+    # Half-open rule: segment straddles the horizontal ray at py.
+    # The crossing-x division runs only on the straddling pairs (round
+    # 6): a horizontal line crosses a closed ring a handful of times, so
+    # the straddle matrix is ~99% empty at coastline vertex counts and
+    # the dense divide dominated compile time. Same expression on the
+    # same doubles — the sparse result is bit-identical (and the former
+    # masked-out div-by-zero lanes no longer execute at all).
     straddle = (ay > py) != (by > py)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        x_at = ax + (py - ay) * (bx - ax) / (by - ay)
-    crossing = straddle & (px < x_at)
-    return (np.sum(crossing, axis=1) & 1).astype(bool)
+    rows, cols = np.nonzero(straddle)
+    if not len(rows):
+        return np.zeros(n, dtype=bool)
+    a_x, a_y = seg_a[cols, 0], seg_a[cols, 1]
+    x_at = a_x + (pts[rows, 1] - a_y) * (seg_b[cols, 0] - a_x) / (
+        seg_b[cols, 1] - a_y
+    )
+    crossing = pts[rows, 0] < x_at
+    return (
+        np.bincount(rows[crossing], minlength=n) & 1
+    ).astype(bool)
 
 
 def contains_inclusive(pts: np.ndarray, rings: list[np.ndarray]) -> np.ndarray:
@@ -725,7 +739,9 @@ def _segment_box_touch_flat(
 
 
 def segments_box_pairs(
-    seg_a: np.ndarray, seg_b: np.ndarray, boxes: np.ndarray
+    seg_a: np.ndarray, seg_b: np.ndarray, boxes: np.ndarray,
+    aligned_grid: bool = False,
+    seg_bbox: tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Sparse exact segment-box incidences: (box_idx, seg_idx) pairs,
     row-major (box ascending, segment ascending within a box) — the same
@@ -771,20 +787,34 @@ def segments_box_pairs(
     # silent false negatives. The sparse path requires every box to sit
     # exactly on the (ox + i*w0, oy + j*h0) lattice with a unique cell;
     # anything else takes the dense fallback (correct for arbitrary
-    # boxes). Covering-compiler frontiers always satisfy this.
-    if (
-        not np.allclose(ox + bix * w0, boxes[:, 0], rtol=0, atol=w0 * 1e-9)
-        or not np.allclose(oy + biy * h0, boxes[:, 1], rtol=0, atol=h0 * 1e-9)
-    ):
-        return _dense()
-    _bk = bix * (int(biy.max()) + 2) + biy
-    if len(np.unique(_bk)) != C:
-        return _dense()
+    # boxes). Covering-compiler frontiers always satisfy this —
+    # ``aligned_grid=True`` is their promise of it, skipping the two
+    # allclose passes and the unique() sort that cost ~8% of
+    # coastline-scale compile time (round 6); untrusted callers keep
+    # the guard.
+    if not aligned_grid:
+        if (
+            not np.allclose(
+                ox + bix * w0, boxes[:, 0], rtol=0, atol=w0 * 1e-9
+            )
+            or not np.allclose(
+                oy + biy * h0, boxes[:, 1], rtol=0, atol=h0 * 1e-9
+            )
+        ):
+            return _dense()
+        _bk = bix * (int(biy.max()) + 2) + biy
+        if len(np.unique(_bk)) != C:
+            return _dense()
 
-    sx0 = np.minimum(seg_a[:, 0], seg_b[:, 0])
-    sx1 = np.maximum(seg_a[:, 0], seg_b[:, 0])
-    sy0 = np.minimum(seg_a[:, 1], seg_b[:, 1])
-    sy1 = np.maximum(seg_a[:, 1], seg_b[:, 1])
+    if seg_bbox is not None:
+        # caller-cached per-segment bboxes (the covering compiler calls
+        # this once per BFS level with the SAME segments — round 6)
+        sx0, sx1, sy0, sy1 = seg_bbox
+    else:
+        sx0 = np.minimum(seg_a[:, 0], seg_b[:, 0])
+        sx1 = np.maximum(seg_a[:, 0], seg_b[:, 0])
+        sy0 = np.minimum(seg_a[:, 1], seg_b[:, 1])
+        sy1 = np.maximum(seg_a[:, 1], seg_b[:, 1])
     gx0 = np.clip(
         np.floor((sx0 - ox) / w0).astype(np.int64) - 1, bix.min(), bix.max()
     )

@@ -150,6 +150,12 @@ def cover_piece(
     base = _base_res_for_bbox(hi_lon - lo_lon, hi_lat - lo_lat)
     max_res = min(base + depth, cells.MAX_RES)
     seg_a, seg_b = geom._segments(rings)
+    seg_bbox = (
+        np.minimum(seg_a[:, 0], seg_b[:, 0]),
+        np.maximum(seg_a[:, 0], seg_b[:, 0]),
+        np.minimum(seg_a[:, 1], seg_b[:, 1]),
+        np.maximum(seg_a[:, 1], seg_b[:, 1]),
+    ) if len(seg_a) else None
 
     out_cells_parts: list[np.ndarray] = []
     out_interior_parts: list[np.ndarray] = []
@@ -168,18 +174,28 @@ def cover_piece(
         frontier, b = frontier[keep], b[keep]
         if not len(frontier):
             break
-        cross_rows, _ = geom.segments_box_pairs(seg_a, seg_b, b)
+        cross_rows, _ = geom.segments_box_pairs(
+            seg_a, seg_b, b, aligned_grid=True, seg_bbox=seg_bbox
+        )
         crossed = np.zeros(len(b), dtype=bool)
         crossed[cross_rows] = True
 
-        # uniform cells: decide by center point, keep the interior ones
+        # uniform cells: decide by center point, keep the interior ones.
+        # Strict even-odd ONLY (round 6): no segment touches a uniform
+        # cell's closed rectangle (the exact inclusive segment-box test
+        # above said so), and the center sits strictly inside that
+        # rectangle, so it cannot lie within ON_EDGE_EPS of any segment
+        # — the points_on_boundary half of containsInclusive is
+        # provably False here and the former contains_inclusive call
+        # (which also re-derived the segment arrays per BFS level) was
+        # ~35% of coastline-scale compile time.
         uni = ~crossed
         if np.any(uni):
             centers = np.stack(
                 [(b[uni, 0] + b[uni, 2]) / 2.0, (b[uni, 1] + b[uni, 3]) / 2.0],
                 axis=1,
             )
-            inside = geom.contains_inclusive(centers, rings)
+            inside = geom.points_in_rings_evenodd(centers, seg_a, seg_b)
             inner = frontier[uni][inside]
             if len(inner):
                 out_cells_parts.append(inner)
@@ -317,7 +333,9 @@ def compile_piece(rings: list[np.ndarray], depth: int = 5) -> dict:
     idx_parts: list[np.ndarray] = []
     bsel = np.nonzero(~interior)[0]
     if len(bsel):
-        rows, cols = geom.segments_box_pairs(sa, sb, bounds[bsel])
+        rows, cols = geom.segments_box_pairs(
+            sa, sb, bounds[bsel], aligned_grid=True
+        )
         loc_counts[bsel] = np.bincount(rows, minlength=len(bsel))
         idx_parts.append(cols.astype(np.int32))  # row-major order
     loc_off = np.zeros(n_cells + 1, dtype=np.int64)
