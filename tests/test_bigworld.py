@@ -246,8 +246,15 @@ def test_dense_level_tables_bounded(idx):
     fall back to binary search instead of burning broadcast bytes."""
     total = 0
     for res, (tbl, ix0, iy0, w, h) in idx.level_dense.items():
-        assert tbl.size == w * h
+        # round 6: tables carry a one-cell zero border the probe clamps
+        # into (no bounds mask), so stored size is (W+2)x(H+2)
+        assert tbl.size == (w + 2) * (h + 2)
         assert tbl.size <= index.DENSE_LEVEL_CAP, res
+        # the border must be all-miss: clamped out-of-footprint probes
+        # land there and MUST read 0
+        t2 = tbl.reshape(h + 2, w + 2)
+        assert not t2[0].any() and not t2[-1].any()
+        assert not t2[:, 0].any() and not t2[:, -1].any()
         total += tbl.size
     assert total <= index.DENSE_TOTAL_CAP
     # the hottest level (most entries) is dense; the sparse high-res

@@ -511,7 +511,14 @@ def build_level_dense(
     search was ~40% of the probe kernel. Tables are bounded by the level's
     cell FOOTPRINT (bbox in grid units), not 4^res, and capped so the
     broadcast stays small; biggest-entry-count levels claim the budget
-    first (they serve the most probe hits)."""
+    first (they serve the most probe hits).
+
+    Tables carry a one-cell ZERO BORDER (round 6): the probe clamps
+    out-of-footprint grid coordinates into the border instead of
+    computing a four-comparison bounds mask per (point, level) — the
+    mask was ~25% of the per-level lookup cost on an 8-level world.
+    Stored shape is therefore (H+2)·(W+2) with live cells at offset
+    (+1, +1); ix0/iy0/w/h keep describing the LIVE footprint."""
     dense: dict[int, tuple] = {}
     budget = DENSE_TOTAL_CAP
     by_entries = sorted(
@@ -525,13 +532,14 @@ def build_level_dense(
         ix0, iy0 = int(ix.min()), int(iy.min())
         w = int(ix.max()) - ix0 + 1
         h = int(iy.max()) - iy0 + 1
-        size = w * h
+        size = (w + 2) * (h + 2)
         if size > DENSE_LEVEL_CAP or size > budget:
             continue
         tbl = np.zeros(size, dtype=np.int32)
-        tbl[(iy.astype(np.int64) - iy0) * w + (ix.astype(np.int64) - ix0)] = (
-            np.arange(1, len(uniq) + 1, dtype=np.int32)
-        )
+        tbl[
+            (iy.astype(np.int64) - iy0 + 1) * (w + 2)
+            + (ix.astype(np.int64) - ix0 + 1)
+        ] = np.arange(1, len(uniq) + 1, dtype=np.int32)
         dense[int(res)] = (tbl, ix0, iy0, w, h)
         budget -= size
     return dense

@@ -84,26 +84,25 @@ def probe_ranks(
             shift = np.uint64(2 * (max_res - res))
             dense = idx.level_dense.get(res)
             if dense is not None:
-                # dense-grid lookup: one gather instead of a binary search
+                # dense-grid lookup: one gather instead of a binary
+                # search. The table has a one-cell zero border (round
+                # 6, build_level_dense), so out-of-footprint points
+                # CLAMP into guaranteed-miss border cells — no bounds
+                # mask; hits are then selected by index gather (one
+                # nonzero scan + three small gathers) instead of three
+                # full-length boolean-index passes.
                 tbl, ix0, iy0, w, h = dense
                 s1 = max_res - res
-                jx = (ix64 >> s1) - ix0
-                jy = (iy64 >> s1) - iy0
-                inb = (jx >= 0) & (jx < w) & (jy >= 0) & (jy < h)
-                if inb.all():
-                    pos1 = tbl[jy * w + jx]
-                else:
-                    pos1 = np.zeros(len(vi32), dtype=np.int32)
-                    rsel = np.nonzero(inb)[0]
-                    if len(rsel):
-                        pos1[rsel] = tbl[jy[rsel] * w + jx[rsel]]
-                hitmask = pos1 > 0
-                hit_pts = vi32[hitmask]
-                if not len(hit_pts):
+                jx = np.clip((ix64 >> s1) - ix0 + 1, 0, w + 1)
+                jy = np.clip((iy64 >> s1) - iy0 + 1, 0, h + 1)
+                pos1 = tbl[jy * (w + 2) + jx]
+                hm = np.nonzero(pos1)[0]
+                if not len(hm):
                     continue
-                hp = (pos1[hitmask].astype(np.int64)) - 1
+                hit_pts = vi32[hm]
+                hp = pos1[hm].astype(np.int64) - 1
                 pc_hit = (np.uint64(res) << np.uint64(58)) | (
-                    base_morton[hitmask] >> shift
+                    base_morton[hm] >> shift
                 )
             else:
                 pc = (np.uint64(res) << np.uint64(58)) | (base_morton >> shift)
