@@ -476,6 +476,14 @@ class TzEngine:
                     )
                 return pd.DataFrame(cols)
 
+            if "__tz" in df.columns:
+                # mirror the arrow impl's reserved-name check (ADVICE r5
+                # #1): withColumn("__tz", ...) would silently OVERWRITE
+                # an input column of that name and then drop it
+                raise ValueError(
+                    "input column '__tz' collides with the probe's "
+                    "reserved temp column name"
+                )
             res = df.withColumn(
                 "__tz", _probe(F.col(lat_col), F.col(lon_col))
             )
@@ -615,6 +623,15 @@ class TzEngine:
                 else [T.StructField("__tz_first_rank", rank_t)]
             )
         )
+        # duplicate probe columns would silently resolve to the FIRST
+        # occurrence here while the pandas path (F.col) raises an
+        # ambiguity error — fail identically instead (ADVICE r5 #2)
+        for c in (lat_col, lon_col):
+            if df.columns.count(c) != 1:
+                raise ValueError(
+                    f"probe column {c!r} appears {df.columns.count(c)} "
+                    "times in the input — column names must be unique"
+                )
         lat_i = df.columns.index(lat_col)
         lon_i = df.columns.index(lon_col)
 
