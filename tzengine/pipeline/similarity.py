@@ -22,18 +22,23 @@ from pyspark.sql import types as T
 
 
 def _cosine(vec_a, vec_b):
-    dot = F.aggregate(
-        F.zip_with(vec_a, vec_b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    """One parsed expression (round 6): the Column-API lambda tree cost
+    ~25 py4j round trips of driver plan-building per scored DataFrame;
+    the SQL string is one call with the identical AST (same sequential
+    left-to-right folds, 0.0D double literals)."""
+
+    def _sql(c):
+        return c if isinstance(c, str) else c._jc.toString()
+
+    a, b = _sql(vec_a), _sql(vec_b)
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, "
+        f"(acc, v) -> acc + v) / "
+        f"(sqrt(aggregate(transform({a}, x -> x * x), 0.0D, "
+        f"(acc, v) -> acc + v)) * "
+        f"sqrt(aggregate(transform({b}, x -> x * x), 0.0D, "
+        f"(acc, v) -> acc + v)))"
     )
-    na = F.sqrt(
-        F.aggregate(F.transform(vec_a, lambda x: x * x), F.lit(0.0), lambda a, v: a + v)
-    )
-    nb = F.sqrt(
-        F.aggregate(F.transform(vec_b, lambda x: x * x), F.lit(0.0), lambda a, v: a + v)
-    )
-    return dot / (na * nb)
 
 
 def _topk_per_query(
