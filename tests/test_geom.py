@@ -319,6 +319,45 @@ def test_b4_ring_overlaps_ring_even_odd_semantics():
     assert geom.points_in_rings_evenodd(np.array([[5.0, 2.0]]), *segs)[0]
 
 
+def test_points_in_rings_evenodd_grouped_matches_dense_fuzz():
+    """The unique-y row-grouped even-odd path (round 6) must agree
+    bit-for-bit with the dense per-point kernel, including y values that
+    exactly equal segment endpoints (straddle tie-breaks) and duplicate
+    x crossings."""
+    import numpy as np
+
+    from tzengine import geom
+
+    rng = np.random.default_rng(7)
+    for trial in range(60):
+        m = int(rng.integers(4, 60))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, m))
+        r = rng.uniform(0.5, 3.0, m)
+        ring = np.stack([np.cos(ang) * r, np.sin(ang) * r], axis=1)
+        ring = np.vstack([ring, ring[:1]])
+        sa, sb = geom._segments([ring])
+        gx = rng.uniform(-4, 4, 16)
+        gy = np.concatenate(
+            [rng.uniform(-4, 4, 6), rng.choice(sa[:, 1], 4)]
+        )
+        pts = np.stack(np.meshgrid(gx, gy), axis=-1).reshape(-1, 2)
+        got = geom.points_in_rings_evenodd(pts, sa, sb)
+        # dense reference, computed inline (the production dense branch
+        # is gated away for grid inputs)
+        py = pts[:, 1][:, None]
+        strad = (sa[:, 1][None, :] > py) != (sb[:, 1][None, :] > py)
+        rows, cols = np.nonzero(strad)
+        x_at = sa[cols, 0] + (pts[rows, 1] - sa[cols, 1]) * (
+            sb[cols, 0] - sa[cols, 0]
+        ) / (sb[cols, 1] - sa[cols, 1])
+        ref = (
+            np.bincount(
+                rows[pts[rows, 0] < x_at], minlength=len(pts)
+            ) & 1
+        ).astype(bool)
+        np.testing.assert_array_equal(got, ref, err_msg=f"trial {trial}")
+
+
 def test_segments_box_pairs_matches_dense_matrix_fuzz():
     """The sparse grid-prescreened covering kernel must produce EXACTLY
     the pairs of np.nonzero(segments_box_matrix(...)), row-major, on a

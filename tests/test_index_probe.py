@@ -171,6 +171,28 @@ def test_version_gate():
     index.check_index_version(EVERYWHERE.version)  # current version accepted
 
 
+def test_cover_piece_propagated_pairs_match_recompute():
+    """The BFS-propagated boundary incidences (round-6 return_pairs)
+    must equal a from-scratch segments_box_pairs over the emitted
+    boundary cells — same pairs, same row-major order."""
+    from tzengine import cells as cellmod
+
+    for zone in ("Zone/Filler", "Zone/Island"):
+        if zone not in EVERYWHERE.zone_ids:
+            continue
+        rings = EVERYWHERE.piece_rings(EVERYWHERE.zone_ids.index(zone))
+        cids, interior, (brow, bcol) = index.cover_piece(
+            rings, depth=4, return_pairs=True
+        )
+        bsel = np.nonzero(~interior)[0]
+        sa, sb = geom._segments(rings)
+        rows, cols = geom.segments_box_pairs(
+            sa, sb, cellmod.cell_bounds(cids[bsel]), aligned_grid=True
+        )
+        np.testing.assert_array_equal(brow, rows)
+        np.testing.assert_array_equal(bcol, cols)
+
+
 def test_cover_piece_interior_and_boundary():
     rings = EVERYWHERE.piece_rings(EVERYWHERE.zone_ids.index("Zone/Filler"))
     cids, interior = index.cover_piece(rings, depth=4)

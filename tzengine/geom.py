@@ -127,6 +127,25 @@ def points_in_rings_evenodd(
     if len(seg_a) == 0 or len(pts) == 0:
         return np.zeros(len(pts), dtype=bool)
     n = len(pts)
+    S = len(seg_a)
+
+    # Row-grouped path (round 6): the compile path's query points are
+    # grid-cell CENTERS, so distinct y values number ~sqrt(n). The
+    # straddle test and the crossing-x depend on the point only through
+    # py, so both can be computed once per UNIQUE y (U x S instead of
+    # n x S work); each point then only counts how many of its row's
+    # crossing-x values lie strictly to its right — one searchsorted
+    # over the row's sorted x_at array. Sorting never changes the
+    # doubles and searchsorted(side='right') counts exactly the
+    # px < x_at comparisons the dense path sums, so parity is
+    # bit-identical. Arbitrary point sets (U ~ n) keep the dense path.
+    if n >= 64 and S >= 8:
+        uy, inv = np.unique(pts[:, 1], return_inverse=True)
+        if len(uy) * 2 <= n:
+            return _points_in_rings_evenodd_rows(
+                pts, seg_a, seg_b, uy, inv
+            )
+
     px = pts[:, 0][:, None]
     py = pts[:, 1][:, None]
     ax, ay = seg_a[:, 0][None, :], seg_a[:, 1][None, :]
@@ -150,6 +169,50 @@ def points_in_rings_evenodd(
     return (
         np.bincount(rows[crossing], minlength=n) & 1
     ).astype(bool)
+
+
+def _points_in_rings_evenodd_rows(
+    pts: np.ndarray,
+    seg_a: np.ndarray,
+    seg_b: np.ndarray,
+    uy: np.ndarray,
+    inv: np.ndarray,
+) -> np.ndarray:
+    """Unique-y grouped even-odd kernel (see points_in_rings_evenodd).
+    ``uy`` sorted unique y values, ``inv`` each point's index into it."""
+    n = len(pts)
+    U = len(uy)
+    ay = seg_a[:, 1][None, :]
+    by = seg_b[:, 1][None, :]
+    straddle = (ay > uy[:, None]) != (by > uy[:, None])  # (U, S)
+    rows_u, cols_u = np.nonzero(straddle)
+    if not len(rows_u):
+        return np.zeros(n, dtype=bool)
+    a_x, a_y = seg_a[cols_u, 0], seg_a[cols_u, 1]
+    x_at = a_x + (uy[rows_u] - a_y) * (seg_b[cols_u, 0] - a_x) / (
+        seg_b[cols_u, 1] - a_y
+    )
+    # sort x_at within each row (rows_u is already row-grouped)
+    o = np.lexsort((x_at, rows_u))
+    x_sorted = x_at[o]
+    cnt_u = np.bincount(rows_u, minlength=U)
+    off_u = np.zeros(U + 1, dtype=np.int64)
+    np.cumsum(cnt_u, out=off_u[1:])
+    # group the points by row and count crossings to the right per point
+    po = np.argsort(inv, kind="stable")
+    inv_s = inv[po]
+    px_s = pts[po, 0]
+    grp_start = np.r_[0, np.nonzero(inv_s[1:] != inv_s[:-1])[0] + 1]
+    out = np.zeros(n, dtype=bool)
+    for s0, s1 in zip(grp_start, np.r_[grp_start[1:], len(po)]):
+        g = inv_s[s0]
+        lo, hi = off_u[g], off_u[g + 1]
+        if lo == hi:
+            continue
+        row_x = x_sorted[lo:hi]
+        cnt = (hi - lo) - np.searchsorted(row_x, px_s[s0:s1], side="right")
+        out[po[s0:s1]] = (cnt & 1).astype(bool)
+    return out
 
 
 def contains_inclusive(pts: np.ndarray, rings: list[np.ndarray]) -> np.ndarray:

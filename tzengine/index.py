@@ -133,8 +133,9 @@ def _base_res_for_bbox(w_lon: float, h_lat: float) -> int:
 
 
 def cover_piece(
-    rings: list[np.ndarray], depth: int = 5, max_cells: int = 4096
-) -> tuple[np.ndarray, np.ndarray]:
+    rings: list[np.ndarray], depth: int = 5, max_cells: int = 4096,
+    return_pairs: bool = False,
+) -> tuple:
     """Compute the cell covering of one (clipped) piece.
 
     Returns (cell_ids uint64, interior bool). Interior cells may sit at any
@@ -145,6 +146,20 @@ def cover_piece(
     cell. This is the engine replacement for the reference's O3
     (smallest-area-first + lazy scan) — interior hits resolve O(1) at probe
     time, exact ray-casting only on boundary cells (north_star).
+
+    Segment-cell incidences PROPAGATE down the BFS (round 6): a segment
+    touching a child cell's closed rectangle must touch its parent's (the
+    child rect is a subset), so the candidates for a level are the 4-way
+    expansion of the previous level's exact pairs — no per-level grid
+    join over all segments. The exact inclusive touch test is unchanged,
+    so the pair set (and every downstream artifact) is bit-identical to
+    the former per-level ``segments_box_pairs`` calls; only level 0 still
+    runs the full join (a handful of base-resolution cells).
+
+    ``return_pairs=True`` appends the final boundary incidences
+    ``(cell_pos, seg_idx)`` — row-major over the emitted boundary cells,
+    exactly what ``segments_box_pairs`` over those cells would return —
+    so ``compile_piece`` does not have to recompute them.
     """
     lo_lon, lo_lat, hi_lon, hi_lat = geom.rings_bbox(rings)
     base = _base_res_for_bbox(hi_lon - lo_lon, hi_lat - lo_lat)
@@ -159,8 +174,10 @@ def cover_piece(
 
     out_cells_parts: list[np.ndarray] = []
     out_interior_parts: list[np.ndarray] = []
+    b_pairs = (np.zeros(0, np.int64), np.zeros(0, np.int64))
     frontier = cells.cells_covering_bbox(lo_lon, lo_lat, hi_lon, hi_lat, base)
     n_emitted = 0
+    rows = cols = None  # level-0 sentinel: full grid join below
 
     while len(frontier):
         b = cells.cell_bounds(frontier)
@@ -171,14 +188,42 @@ def cover_piece(
             | (b[:, 3] < lo_lat)
             | (b[:, 1] > hi_lat)
         )
-        frontier, b = frontier[keep], b[keep]
-        if not len(frontier):
-            break
-        cross_rows, _ = geom.segments_box_pairs(
-            seg_a, seg_b, b, aligned_grid=True, seg_bbox=seg_bbox
-        )
+        if rows is None:
+            frontier, b = frontier[keep], b[keep]
+            if not len(frontier):
+                break
+            rows, cols = geom.segments_box_pairs(
+                seg_a, seg_b, b, aligned_grid=True, seg_bbox=seg_bbox
+            )
+        else:
+            # rows/cols are candidate pairs indexed into the UNPRUNED
+            # frontier; remap through the bbox prune, then run the same
+            # exact inclusive touch test segments_box_pairs applies
+            new_pos = np.cumsum(keep) - 1
+            frontier, b = frontier[keep], b[keep]
+            if not len(frontier):
+                break
+            sel = keep[rows]
+            rows, cols = new_pos[rows[sel]], cols[sel]
+            if len(rows) and seg_bbox is not None:
+                # bbox prescreen: an inclusive touch needs the segment's
+                # bbox to overlap the cell rect — drops ~half the 4-way
+                # candidates before the exact (costlier) test
+                sx0, sx1, sy0, sy1 = seg_bbox
+                near = (
+                    (sx1[cols] >= b[rows, 0])
+                    & (sx0[cols] <= b[rows, 2])
+                    & (sy1[cols] >= b[rows, 1])
+                    & (sy0[cols] <= b[rows, 3])
+                )
+                rows, cols = rows[near], cols[near]
+            if len(rows):
+                ok = geom._segment_box_touch_flat(
+                    seg_a[cols], seg_b[cols], b[rows]
+                )
+                rows, cols = rows[ok], cols[ok]
         crossed = np.zeros(len(b), dtype=bool)
-        crossed[cross_rows] = True
+        crossed[rows] = True
 
         # uniform cells: decide by center point, keep the interior ones.
         # Strict even-odd ONLY (round 6): no segment touches a uniform
@@ -206,22 +251,41 @@ def cover_piece(
         if not len(cross_cells):
             break
         res = int(cells.cell_res(cross_cells[:1])[0])
-        if res >= max_res or n_emitted + 4 * len(cross_cells) >= max_cells:
+        n_cross = len(cross_cells)
+        cross_pos = np.full(len(b), -1, dtype=np.int64)
+        cross_pos[np.nonzero(crossed)[0]] = np.arange(n_cross)
+        if res >= max_res or n_emitted + 4 * n_cross >= max_cells:
             out_cells_parts.append(cross_cells)
-            out_interior_parts.append(np.zeros(len(cross_cells), dtype=bool))
-            n_emitted += len(cross_cells)
+            out_interior_parts.append(np.zeros(n_cross, dtype=bool))
+            n_emitted += n_cross
+            if return_pairs and len(rows):
+                ppos = cross_pos[rows]
+                o = np.lexsort((cols, ppos))
+                b_pairs = (ppos[o], cols[o])
             break
-        # subdivide every crossed cell (vectorized children)
+        # subdivide every crossed cell (vectorized children); candidate
+        # pairs for the children are the 4-way expansion of this level's
+        # exact pairs (child i of crossed cell at cross-position p sits
+        # at frontier index 4*p + i next level)
         morton = cross_cells & np.uint64((1 << 58) - 1)
         bases = (np.uint64(res + 1) << np.uint64(58)) | (morton << np.uint64(2))
         frontier = (bases[:, None] + np.arange(4, dtype=np.uint64)[None, :]).ravel()
+        ppos = cross_pos[rows]
+        rows = (
+            (ppos * 4)[:, None] + np.arange(4, dtype=np.int64)[None, :]
+        ).ravel()
+        cols = np.repeat(cols, 4)
 
     if out_cells_parts:
-        return (
+        out = (
             np.concatenate(out_cells_parts),
             np.concatenate(out_interior_parts),
         )
-    return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=bool)
+    else:
+        out = (np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=bool))
+    if return_pairs:
+        return out + (b_pairs,)
+    return out
 
 
 def compile_index(
@@ -319,7 +383,9 @@ def compile_piece(rings: list[np.ndarray], depth: int = 5) -> dict:
     interior/center (E,) bool; loc_off (E+1,) i64 + loc_idx (L,) i32 —
     per-cell CSR of piece-local segment ids for boundary cells."""
     sa, sb = geom._segments(rings)
-    cids, interior = cover_piece(rings, depth=depth)
+    cids, interior, (brow, bcol) = cover_piece(
+        rings, depth=depth, return_pairs=True
+    )
     bounds = cells.cell_bounds(cids)
     centers = np.stack(
         [(bounds[:, 0] + bounds[:, 2]) / 2, (bounds[:, 1] + bounds[:, 3]) / 2],
@@ -333,11 +399,11 @@ def compile_piece(rings: list[np.ndarray], depth: int = 5) -> dict:
     idx_parts: list[np.ndarray] = []
     bsel = np.nonzero(~interior)[0]
     if len(bsel):
-        rows, cols = geom.segments_box_pairs(
-            sa, sb, bounds[bsel], aligned_grid=True
-        )
-        loc_counts[bsel] = np.bincount(rows, minlength=len(bsel))
-        idx_parts.append(cols.astype(np.int32))  # row-major order
+        # boundary incidences come straight from the covering BFS (round
+        # 6, cover_piece return_pairs): identical pairs to the former
+        # segments_box_pairs(sa, sb, bounds[bsel]) recompute, for free
+        loc_counts[bsel] = np.bincount(brow, minlength=len(bsel))
+        idx_parts.append(bcol.astype(np.int32))  # row-major order
     loc_off = np.zeros(n_cells + 1, dtype=np.int64)
     np.cumsum(loc_counts, out=loc_off[1:])
     return {
