@@ -562,10 +562,18 @@ def assemble_index(
 # Dense tables trade one gather for a binary search, but a sparse level
 # (few cells over a wide footprint) buys that with a table far larger
 # than the uniq array it replaces — pure broadcast/cache waste (the
-# 454-zone world's res-11 level: 751 cells, 3.2 MiB table). Caps sized
-# so a table stays within the same order as the arrays it replaces:
-DENSE_LEVEL_CAP = 1 << 17  # max table entries per level (512 KiB int32)
-DENSE_TOTAL_CAP = 1 << 19  # max table entries across all levels (2 MiB)
+# 454-zone world's res-11 level: 751 cells, 3.2 MiB table). Small
+# tables are always admitted; bigger ones only when the footprint is
+# DENSE relative to its cell count (round 6: the 1M-vertex world's
+# res-10 level — 43k boundary cells in a 255k-entry footprint, ratio
+# ~6x — was over the old flat cap, leaving the hottest level on the
+# binary-search path at ~40% of its lookup cost). A ~1 MiB table is
+# still L2-resident; the waste-ratio gate keeps sparse levels out at
+# ANY world size, so this is not a local[32] tune.
+DENSE_LEVEL_CAP = 1 << 17  # always-admit size (512 KiB int32)
+DENSE_LEVEL_HARD_CAP = 1 << 20  # absolute per-level ceiling (4 MiB)
+DENSE_WASTE_RATIO = 16  # admit larger tables only if size <= 16x cells
+DENSE_TOTAL_CAP = 1 << 21  # max table entries across all levels (8 MiB)
 
 
 def build_level_dense(
@@ -599,7 +607,11 @@ def build_level_dense(
         w = int(ix.max()) - ix0 + 1
         h = int(iy.max()) - iy0 + 1
         size = (w + 2) * (h + 2)
-        if size > DENSE_LEVEL_CAP or size > budget:
+        admit = size <= DENSE_LEVEL_CAP or (
+            size <= DENSE_LEVEL_HARD_CAP
+            and size <= DENSE_WASTE_RATIO * len(uniq)
+        )
+        if not admit or size > budget:
             continue
         tbl = np.zeros(size, dtype=np.int32)
         tbl[
