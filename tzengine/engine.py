@@ -184,63 +184,113 @@ class TzEngine:
         driver never materializes nested-Row geometry."""
         from . import geom
 
-        def compile_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            out_rows = []
-            for _, row in pdf.iterrows():
-                rings = [
-                    np.array([(v["lon"], v["lat"]) for v in ring], dtype=np.float64)
-                    for ring in row["rings"]
-                ]
-                # artifact reloads carry the original PRE-clip area (the
-                # reference's documented sort key, which already-clipped
-                # rings can no longer reproduce)
-                pre_area = (
-                    float(row[area_col]) if area_col is not None
-                    else geom.polygon_area2d(rings)
+        def compile_batches(batches):
+            # mapInArrow (round 6; was groupBy().applyInPandas): each
+            # input row is one independent polygon, so the group-by was
+            # only a fan-out device — and the pandas conversion rebuilt
+            # every ring via a PER-VERTEX Python dict loop. Arrow's
+            # list<list<struct>> layout is already CSR: two offset
+            # arrays plus flat float32 lat/lon children, so the ring
+            # arrays are numpy slices (guide §4.2). Same doubles (the
+            # float32→float64 upcast is exact either way), same per-row
+            # logic, same output rows.
+            import pyarrow as pa
+
+            for batch in batches:
+                names = batch.schema.names
+                cols = {nm: batch.column(i) for i, nm in enumerate(names)}
+                rings_col = cols["rings"]
+                r_off = rings_col.offsets.to_numpy()
+                ring_list = rings_col.values
+                v_off = ring_list.offsets.to_numpy()
+                vstruct = ring_list.values
+                vlat = vstruct.field("lat").to_numpy(
+                    zero_copy_only=False
+                ).astype(np.float64)
+                vlon = vstruct.field("lon").to_numpy(
+                    zero_copy_only=False
+                ).astype(np.float64)
+                ordinals = cols["ordinal"].to_numpy(zero_copy_only=False)
+                polygon_ids = cols["polygon_id"].to_numpy(
+                    zero_copy_only=False
                 )
-                lo_lon, lo_lat, hi_lon, hi_lat = geom.rings_bbox(rings)
-                # exact-extent prune (I10) — same inclusive intersect as
-                # the driver compile
-                if (
-                    hi_lat < min_lat or lo_lat > max_lat
-                    or hi_lon < min_lon or lo_lon > max_lon
-                ):
-                    continue
-                if (
-                    lo_lat >= min_lat and hi_lat <= max_lat
-                    and lo_lon >= min_lon and hi_lon <= max_lon
-                ):
-                    comps = [rings]
-                    was_clipped = False  # pass-through keeps the piece
-                    # regardless of area — exactly like the driver
-                    # compile (the reference drops empties only among
-                    # CLIP results, pointCount>0)
-                else:
-                    comps = geom.clip_rings_to_box_split(
-                        rings, min_lon, min_lat, max_lon, max_lat
+                zone_ids = cols["zone_id"].to_pylist()
+                areas = (
+                    cols[area_col].to_numpy(zero_copy_only=False)
+                    if area_col is not None else None
+                )
+                out_rows = []
+                for i in range(batch.num_rows):
+                    rings = [
+                        np.column_stack(
+                            (
+                                vlon[v_off[j]:v_off[j + 1]],
+                                vlat[v_off[j]:v_off[j + 1]],
+                            )
+                        )
+                        for j in range(r_off[i], r_off[i + 1])
+                    ]
+                    # artifact reloads carry the original PRE-clip area
+                    # (the reference's documented sort key, which
+                    # already-clipped rings can no longer reproduce)
+                    pre_area = (
+                        float(areas[i]) if areas is not None
+                        else geom.polygon_area2d(rings)
                     )
-                    was_clipped = True
-                for ci, comp in enumerate(comps):
-                    if was_clipped and (
-                        not comp or geom.polygon_area2d(comp) <= 0
+                    lo_lon, lo_lat, hi_lon, hi_lat = geom.rings_bbox(rings)
+                    # exact-extent prune (I10) — same inclusive intersect
+                    # as the driver compile
+                    if (
+                        hi_lat < min_lat or lo_lat > max_lat
+                        or hi_lon < min_lon or lo_lon > max_lon
                     ):
                         continue
-                    blob = indexmod.pack_piece(
-                        indexmod.compile_piece(comp, depth=depth)
-                    )
-                    out_rows.append(
-                        (
-                            int(row["ordinal"]), ci, row["zone_id"],
-                            int(row["polygon_id"]), float(pre_area), blob,
+                    if (
+                        lo_lat >= min_lat and hi_lat <= max_lat
+                        and lo_lon >= min_lon and hi_lon <= max_lon
+                    ):
+                        comps = [rings]
+                        was_clipped = False  # pass-through keeps the
+                        # piece regardless of area — exactly like the
+                        # driver compile (the reference drops empties
+                        # only among CLIP results, pointCount>0)
+                    else:
+                        comps = geom.clip_rings_to_box_split(
+                            rings, min_lon, min_lat, max_lon, max_lat
                         )
+                        was_clipped = True
+                    for ci, comp in enumerate(comps):
+                        if was_clipped and (
+                            not comp or geom.polygon_area2d(comp) <= 0
+                        ):
+                            continue
+                        blob = indexmod.pack_piece(
+                            indexmod.compile_piece(comp, depth=depth)
+                        )
+                        out_rows.append(
+                            (
+                                int(ordinals[i]), ci, zone_ids[i],
+                                int(polygon_ids[i]), float(pre_area),
+                                blob,
+                            )
+                        )
+                if out_rows:
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array([r[0] for r in out_rows], pa.int32()),
+                            pa.array([r[1] for r in out_rows], pa.int32()),
+                            pa.array([r[2] for r in out_rows], pa.string()),
+                            pa.array([r[3] for r in out_rows], pa.int32()),
+                            pa.array(
+                                [r[4] for r in out_rows], pa.float64()
+                            ),
+                            pa.array([r[5] for r in out_rows], pa.binary()),
+                        ],
+                        [
+                            "ordinal", "comp", "zone_id", "polygon_id",
+                            "pre_area", "blob",
+                        ],
                     )
-            return pd.DataFrame(
-                out_rows,
-                columns=[
-                    "ordinal", "comp", "zone_id", "polygon_id",
-                    "pre_area", "blob",
-                ],
-            )
 
         # the zones table is consumed TWICE below (duplicate-ordinal
         # check, then the compile itself) and its lineage usually holds
@@ -279,9 +329,8 @@ class TzEngine:
             )
             rows = (
                 zones_df.repartition(n_parts, "zone_id", "polygon_id")
-                .groupBy("zone_id", "polygon_id")
-                .applyInPandas(
-                    compile_group,
+                .mapInArrow(
+                    compile_batches,
                     "ordinal int, comp int, zone_id string, polygon_id int, "
                     "pre_area double, blob binary",
                 )
