@@ -80,23 +80,26 @@ def test_assign_arrow_impl_parity(engine, points_df):
 
 
 def test_assign_auto_impl_selection(engine, points_df, spark):
-    """The "auto" crossover rule: arrow for narrow fixed-width inputs
-    (<= one extra 8-byte column), pandas once passthrough gets wide or
-    variable-width (measured crossover, engine._pick_probe_impl)."""
+    """The "auto" rule (round 6): the scalar arrow_udf impl wins at every
+    passthrough width (it is column-count-independent; measured 2x over
+    mapInArrow even with zero extra columns), so auto always resolves to
+    it — EXCEPT an input already carrying the scalar impl's reserved
+    '__tz' temp column, which keeps resolving to mapInArrow so a
+    previously-valid input never starts raising."""
     from tzengine.engine import TzEngine
 
     pick = TzEngine._pick_probe_impl
     narrow = points_df.select("lat", "lon")
-    assert pick(narrow, "lat", "lon") == "arrow"
+    assert pick(narrow, "lat", "lon") == "pandas"
     one_long = narrow.withColumn("k", narrow.lat.cast("long"))
-    assert pick(one_long, "lat", "lon") == "arrow"
+    assert pick(one_long, "lat", "lon") == "pandas"
     assert pick(points_df, "lat", "lon") == "pandas"  # string column
-    two_cols = one_long.withColumn("p", one_long.lon * 2)
-    assert pick(two_cols, "lat", "lon") == "pandas"
+    tz_col = narrow.withColumn("__tz", narrow.lat * 2)
+    assert pick(tz_col, "lat", "lon") == "arrow"
     # auto output == forced outputs on a narrow input
     a = engine.assign_timezones(narrow).orderBy("lat", "lon").collect()
     b = engine.assign_timezones(
-        narrow, impl="pandas").orderBy("lat", "lon").collect()
+        narrow, impl="arrow").orderBy("lat", "lon").collect()
     assert a == b
 
 
