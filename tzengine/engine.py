@@ -440,20 +440,19 @@ class TzEngine:
         JVM transform runs — a narrower plan for pipelines that only
         consume ``tzid``.
 
-        ``impl``: "pandas" (scalar pandas_udf: only the lat/lon argument
-        columns cross the Python boundary, remaining input columns stay
-        JVM-side), "arrow" (mapInArrow: the probe kernel writes
-        RecordBatches directly with no pandas Series/ArrowDtype wrapping
-        or struct assembly, but EVERY input column round-trips through
-        Python), or "auto" (default): pick "arrow" when the passthrough
-        is cheap — all non-probe columns fixed-width primitives totaling
-        <= 8 bytes/row — else "pandas". Results are bit-identical
-        (test_assign_arrow_impl_parity); the choice is purely a measured
-        perf crossover (VERDICT r4 #4): on a (lat, lon)-only input the
-        mapInArrow probe runs ~2.4x faster at 8 cores (the pandas
-        wrapper, not the kernel, was the wall), with one extra 8-byte
-        column it still wins ~15%, and from two extra columns (or any
-        string/array column) the passthrough cost flips the sign."""
+        ``impl``: "pandas" (scalar Arrow-native UDF, Spark 4.1
+        ``arrow_udf`` — round 6: only the lat/lon argument columns cross
+        the Python boundary, remaining input columns stay JVM-side, and
+        the kernel's native pyarrow outputs go straight into the result
+        StructArray with no pandas wrapping), "arrow" (mapInArrow: the
+        probe kernel writes RecordBatches directly, but EVERY input
+        column round-trips through Python), or "auto" (default), which
+        now always resolves to the scalar impl: with the pandas
+        wrapping gone it wins at every passthrough width (interleaved
+        pinned 32-core A/B at 6M rows: 0.54-0.74 s vs mapInArrow's
+        1.08-1.17 s even with ZERO extra columns — and it is
+        column-count-independent where mapInArrow degrades). Results
+        are bit-identical (test_assign_arrow_impl_parity)."""
         if impl == "auto":
             impl = self._pick_probe_impl(df, lat_col, lon_col)
         if impl not in ("pandas", "arrow"):
