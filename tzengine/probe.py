@@ -794,7 +794,25 @@ def knn_zones_batch(
         live_idx = np.nonzero((pool_bound <= kth[pool_pt]) & active[pool_pt])[0]
         take = live_idx[:0]
         if len(live_idx):
-            o = np.lexsort((pool_bound[live_idx], pool_pt[live_idx]))
+            # single composite-key introsort (round 6; was a 2-key
+            # lexsort = two stable passes, the largest sort in the
+            # loop). Selection only decides WHICH candidates are
+            # evaluated this round — evaluation is exact and pruning
+            # compares exact bounds against kth — so ordering within
+            # float32-quantized bound ties is free (the quantization is
+            # ~1e-7 relative; nothing like the round-5 loose-group-tie
+            # experiment that blew n_eval up). Non-negative float32
+            # bit patterns sort like the values, so (pt << 32 | bits)
+            # is one int64 key.
+            qb = (
+                pool_bound[live_idx]
+                .astype(np.float32)
+                .view(np.uint32)
+                .astype(np.int64)
+            )
+            o = np.argsort(
+                (pool_pt[live_idx].astype(np.int64) << np.int64(32)) | qb
+            )
             srt = live_idx[o]
             pt_s = pool_pt[srt]
             new_seg = np.r_[True, pt_s[1:] != pt_s[:-1]]
@@ -903,16 +921,27 @@ def knn_zones_batch(
                 m_dist = np.concatenate([A[1][tm], dists])
                 m_rank = np.concatenate([A[2][tm], t_rank])
             m_zone = zone_of_rank[m_rank]
-            # composite (pt, zone) primary key: one stable-sort pass
-            # fewer than the 4-key lexsort (round 6); n_zones bounds the
-            # zone term so the packing is collision-free
+            # composite (pt, zone) primary key; n_zones bounds the zone
+            # term so the packing is collision-free. Per-key best =
+            # (min dist, then min rank): one int64 introsort on the key
+            # plus two segment reductions (round 6) — exactly the first
+            # row the former (rank, dist, key) lexsort would surface,
+            # without its three stable passes.
             n_zones = len(zone_names)
             m_key = m_pt * n_zones + m_zone
-            o1 = np.lexsort((m_rank, m_dist, m_key))
-            p1, z1, d1, r1 = m_pt[o1], m_zone[o1], m_dist[o1], m_rank[o1]
+            o1 = np.argsort(m_key)
             k1 = m_key[o1]
-            first = np.r_[True, k1[1:] != k1[:-1]]
-            bp, bd, br, bz = p1[first], d1[first], r1[first], z1[first]
+            p1, z1, d1, r1 = m_pt[o1], m_zone[o1], m_dist[o1], m_rank[o1]
+            new_seg1 = np.r_[True, k1[1:] != k1[:-1]]
+            starts1 = np.nonzero(new_seg1)[0]
+            seg_id1 = np.cumsum(new_seg1) - 1
+            bd = np.minimum.reduceat(d1, starts1)
+            is_min = d1 == bd[seg_id1]
+            r_masked = np.where(
+                is_min, r1.astype(np.int64), np.iinfo(np.int64).max
+            )
+            br = np.minimum.reduceat(r_masked, starts1).astype(r1.dtype)
+            bp, bz = p1[starts1], z1[starts1]
             # kth update — only touched points can have a new k-th
             o2 = np.lexsort((bd, bp))
             p2, d2 = bp[o2], bd[o2]
