@@ -26,8 +26,11 @@ def test_scale_shape(world, idx):
     assert len(world) > 150
     # broadcast stays small (SURVEY §4: O(few MB) at world scale)
     assert idx.nbytes() < 16 * 1024 * 1024
-    # mixed resolutions present, interior and boundary cells both exist
-    assert len(idx.levels) >= 3
+    # the probe pays ~9 array passes per lookup level, so merge_levels
+    # must collapse this world's 8 native covering resolutions into
+    # very few lookup levels (round 6); interior and boundary cells
+    # both exist
+    assert 1 <= len(idx.levels) <= 3
     assert idx.ent_interior.any() and (~idx.ent_interior).any()
 
 

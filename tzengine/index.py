@@ -85,7 +85,13 @@ class CompiledIndex:
     ent_seg_off: np.ndarray  # int64 (E+1,)
     ent_seg_idx: np.ndarray  # int32 (sum of local segs,)
     # cell lookup per resolution: res -> (sorted cell ids, offsets,
-    # entry ids)
+    # entry ids). Round 6: adjacent covering resolutions are MERGED at
+    # assembly (quadtree rasterization, ``merge_levels``) — a coarse
+    # cell's entry is re-homed onto its descendant cells at a finer
+    # existing level, so the probe pays one lookup pass per REMAINING
+    # level (1-2 in every bench world, was 7-8). Entry ids (and all
+    # ent_* arrays) are untouched; only the lookup tables change, and a
+    # point's candidate entry set is identical by construction.
     levels: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]]
     # probe acceleration: res -> (tbl int32 (W*H,), ix0, iy0, W, H) dense
     # grid over the level's cell footprint mapping (ix,iy) -> 1-based
@@ -93,6 +99,16 @@ class CompiledIndex:
     # replaces a binary search per (point, level). Levels whose footprint
     # exceeds the memory cap fall back to searchsorted (empty dict entry).
     level_dense: dict[int, tuple] = field(default_factory=dict)
+    # per-entry center of the entry's ORIGINAL covering cell (the point
+    # whose even-odd state ``ent_center`` holds). Precomputed at
+    # assembly with the exact arithmetic the probe used to apply to the
+    # probed cell id — (lo+hi)/2 over cells.cell_bounds — so the
+    # boundary test is bit-identical; storing it per entry frees the
+    # probe from tracking WHICH cell produced a candidate (level
+    # merging re-homes entries onto finer cells, whose centers would be
+    # the wrong parity anchor).
+    ent_cx: np.ndarray = None  # float64 (E,)
+    ent_cy: np.ndarray = None  # float64 (E,)
 
     @property
     def n_pieces(self) -> int:
@@ -535,8 +551,22 @@ def assemble_index(
             uniq, start = np.unique(cell, return_index=True)
             offsets = np.append(start, len(cell)).astype(np.int64)
             levels[int(r_level)] = (uniq, offsets, ent)
+    levels = merge_levels(levels, len(all_cells))
+
+    # per-entry parity anchor: the ORIGINAL covering cell's center, the
+    # same (lo+hi)/2 doubles the probe formerly derived from the probed
+    # cell id (bit-identical boundary test; see CompiledIndex docs)
+    if len(all_cells):
+        cb = cells.cell_bounds(all_cells)
+        ent_cx = (cb[:, 0] + cb[:, 2]) / 2.0
+        ent_cy = (cb[:, 1] + cb[:, 3]) / 2.0
+    else:
+        ent_cx = np.zeros(0, dtype=np.float64)
+        ent_cy = np.zeros(0, dtype=np.float64)
 
     return CompiledIndex(
+        ent_cx=ent_cx,
+        ent_cy=ent_cy,
         level_dense=build_level_dense(levels),
         version=f"{INDEX_FORMAT_VERSION}:{world_version}",
         init_region=(float(min_lat), float(min_lon), float(max_lat), float(max_lon)),
@@ -559,6 +589,71 @@ def assemble_index(
     )
 
 
+# The probe pays ~9 full-batch array passes PER LOOKUP LEVEL (shift,
+# clamp x2, fused index, gather, hit scan ...), so a level with a dozen
+# cells costs as much per batch as one with 40k — on the 8-level bench
+# worlds the level loop was ~70% of the probe kernel. merge_levels
+# collapses the quadtree at assembly: each level's (cell, entry) pairs
+# are pushed down to the next existing level (child morton = m*4+j, the
+# exact enumeration the covering BFS uses) while the expanded pair
+# count stays within a budget, then materialized. A point's ancestor
+# cell at the coarse level contains it iff one of the 4^d descendants
+# at the fine level does, so the candidate (point, entry) set — and
+# with ent_cx/ent_cy as the parity anchor, every downstream value — is
+# identical. Budget 8x the original entry count caps the CSR growth at
+# a few MB on any world (bench worlds land on 1-2 levels).
+LEVEL_MERGE_BUDGET_FLOOR = 1 << 16
+LEVEL_MERGE_BUDGET_MULT = 8
+
+
+def merge_levels(
+    levels: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]],
+    total_entries: int,
+) -> dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    if len(levels) <= 1:
+        return levels
+    budget = max(
+        LEVEL_MERGE_BUDGET_FLOOR,
+        LEVEL_MERGE_BUDGET_MULT * max(total_entries, 1),
+    )
+    resos = sorted(levels)
+    merged: dict[int, tuple] = {}
+    carry_cell: np.ndarray | None = None
+    carry_ent: np.ndarray | None = None
+    mask58 = np.uint64((1 << 58) - 1)
+    for i, r in enumerate(resos):
+        uniq, offsets, ent = levels[r]
+        counts = np.diff(offsets)
+        cell_r = np.repeat(uniq, counts)
+        ent_r = ent
+        if carry_cell is not None:
+            cell_r = np.concatenate([carry_cell, cell_r])
+            ent_r = np.concatenate([carry_ent, ent_r])
+        if i + 1 < len(resos):
+            nxt = resos[i + 1]
+            d = nxt - r
+            if len(cell_r) * 4**d <= budget:
+                # push down: enumerate the 4^d descendants of each cell
+                # at the next existing level (same child-morton layout
+                # as the covering BFS: m -> m*4 + [0..4))
+                k = np.uint64(4**d)
+                bases = (np.uint64(nxt) << np.uint64(58)) | (
+                    (cell_r & mask58) << np.uint64(2 * d)
+                )
+                carry_cell = (
+                    bases[:, None] + np.arange(k, dtype=np.uint64)[None, :]
+                ).ravel()
+                carry_ent = np.repeat(ent_r, int(k))
+                continue
+        order = np.lexsort((ent_r, cell_r))  # ent asc == rank asc in cell
+        cell_s, ent_s = cell_r[order], ent_r[order]
+        u, start = np.unique(cell_s, return_index=True)
+        offs = np.append(start, len(cell_s)).astype(np.int64)
+        merged[int(r)] = (u, offs, ent_s.astype(np.int32))
+        carry_cell = carry_ent = None
+    return merged
+
+
 # Dense tables trade one gather for a binary search, but a sparse level
 # (few cells over a wide footprint) buys that with a table far larger
 # than the uniq array it replaces — pure broadcast/cache waste (the
@@ -569,9 +664,12 @@ def assemble_index(
 # ~6x — was over the old flat cap, leaving the hottest level on the
 # binary-search path at ~40% of its lookup cost). A ~1 MiB table is
 # still L2-resident; the waste-ratio gate keeps sparse levels out at
-# ANY world size, so this is not a local[32] tune.
+# ANY world size, so this is not a local[32] tune. With merge_levels
+# leaving 1-2 lookup levels per world, the per-level ceiling equals the
+# total budget (the per-level split existed to stop one level starving
+# the others); the waste-ratio and total caps still bound memory.
 DENSE_LEVEL_CAP = 1 << 17  # always-admit size (512 KiB int32)
-DENSE_LEVEL_HARD_CAP = 1 << 20  # absolute per-level ceiling (4 MiB)
+DENSE_LEVEL_HARD_CAP = 1 << 21  # absolute per-level ceiling (8 MiB)
 DENSE_WASTE_RATIO = 16  # admit larger tables only if size <= 16x cells
 DENSE_TOTAL_CAP = 1 << 21  # max table entries across all levels (8 MiB)
 

@@ -17,6 +17,12 @@ from .index import CompiledIndex
 
 OUTSIDE_MSG = "Requested point is outside the initialized area"
 
+# boundary-pass per-segment invariant cache: 11 float64 arrays, so the
+# footprint is 88 B/segment — cap where it stops being LLC-resident
+# (128k segs = 11 MB). Bigger worlds keep inline per-pair compute (the
+# gathers would be DRAM-random and cost more than the arithmetic).
+BSEG_CACHE_MAX_SEGS = 1 << 17
+
 
 def region_guard(idx: CompiledIndex, lats: np.ndarray, lons: np.ndarray) -> np.ndarray:
     """Inclusive containment in the initialized region (TimeZoneMap.kt:82;
@@ -64,7 +70,6 @@ def probe_ranks(
 
     pt_idx_parts: list[np.ndarray] = []
     ent_parts: list[np.ndarray] = []
-    cell_parts: list[np.ndarray] = []
 
     vi = np.nonzero(valid)[0]
     if len(vi):
@@ -101,9 +106,6 @@ def probe_ranks(
                     continue
                 hit_pts = vi32[hm]
                 hp = pos1[hm].astype(np.int64) - 1
-                pc_hit = (np.uint64(res) << np.uint64(58)) | (
-                    base_morton[hm] >> shift
-                )
             else:
                 pc = (np.uint64(res) << np.uint64(58)) | (base_morton >> shift)
                 # cheap range prefilter: a probe cell outside the level's
@@ -124,7 +126,6 @@ def probe_ranks(
                 if not len(hit_pts):
                     continue
                 hp = pos_c[hit]
-                pc_hit = pc_q[hit]
             starts, ends = offsets[hp], offsets[hp + 1]
             counts = ends - starts
             total = int(counts.sum())
@@ -137,16 +138,13 @@ def probe_ranks(
             entry_idx = np.repeat(starts, counts) + (np.arange(total) - run_heads)
             pt_idx_parts.append(rep_pts)
             ent_parts.append(ent_ids[entry_idx])
-            cell_parts.append(np.repeat(pc_hit, counts))
 
     if pt_idx_parts:
         pt_idx = np.concatenate(pt_idx_parts)
         cand_ent = np.concatenate(ent_parts)
-        cand_cell = np.concatenate(cell_parts)
     else:
         pt_idx = np.zeros(0, dtype=np.int32)
         cand_ent = np.zeros(0, dtype=np.int32)
-        cand_cell = np.zeros(0, dtype=np.uint64)
 
     cand_rank = idx.ent_rank[cand_ent] if len(cand_ent) else np.zeros(0, np.int32)
     cand_int = (
@@ -169,13 +167,52 @@ def probe_ranks(
         k_all = (
             idx.ent_seg_off[ents_all + 1] - idx.ent_seg_off[ents_all]
         ).astype(np.int64)
-        # per-candidate point coords + cell centers, computed once
+        # per-candidate point coords + parity-anchor centers, computed
+        # once. The anchor is the entry's ORIGINAL covering cell center,
+        # precomputed at assembly (index.ent_cx/ent_cy — the identical
+        # (lo+hi)/2 doubles this code used to derive from the probed
+        # cell id, which level merging re-homes onto finer cells).
         px_all = lons[pt_idx[bsel]]
         py_all = lats[pt_idx[bsel]]
-        cb = cells.cell_bounds(cand_cell[bsel])
-        cx_all = (cb[:, 0] + cb[:, 2]) / 2.0
-        cy_all = (cb[:, 1] + cb[:, 3]) / 2.0
+        cx_all = idx.ent_cx[ents_all]
+        cy_all = idx.ent_cy[ents_all]
         cum = np.cumsum(k_all)
+
+        # per-SEGMENT invariants, computed once per index instead of
+        # once per (candidate, segment) pair (round 6): dx/dy, the
+        # eps-padded bbox, and the colinearity threshold are functions
+        # of the segment endpoints alone — gathered per pair below,
+        # they replace two subtractions, four min/max passes, four eps
+        # adds, a hypot and a max+multiply with six reads of the SAME
+        # doubles (float32 storage upcasts exactly, and every
+        # precomputed expression is the AST the inline code evaluated,
+        # so all predicates stay bit-identical). ADAPTIVE: above
+        # BSEG_CACHE_MAX_SEGS the eleven float64 arrays stop being
+        # cache-resident and the extra gathers cost more DRAM misses
+        # than the arithmetic they save (measured: 1M-segment world
+        # regresses, 48k-segment world gains ~15%), so large worlds
+        # keep the inline compute (they still get the hoisted
+        # cross-query below, which is free either way).
+        bcache = getattr(idx, "_bseg_cache", None)
+        if bcache is None and len(idx.seg_a) <= BSEG_CACHE_MAX_SEGS:
+            c_ax = np.ascontiguousarray(idx.seg_a[:, 0], dtype=np.float64)
+            c_ay = np.ascontiguousarray(idx.seg_a[:, 1], dtype=np.float64)
+            c_bx = np.ascontiguousarray(idx.seg_b[:, 0], dtype=np.float64)
+            c_by = np.ascontiguousarray(idx.seg_b[:, 1], dtype=np.float64)
+            c_dx = c_bx - c_ax
+            c_dy = c_by - c_ay
+            c_thr = geom.ON_EDGE_EPS * np.maximum(
+                np.hypot(c_dx, c_dy), 1.0
+            )
+            c_mnx = np.minimum(c_ax, c_bx) - geom.ON_EDGE_EPS
+            c_mxx = np.maximum(c_ax, c_bx) + geom.ON_EDGE_EPS
+            c_mny = np.minimum(c_ay, c_by) - geom.ON_EDGE_EPS
+            c_mxy = np.maximum(c_ay, c_by) + geom.ON_EDGE_EPS
+            bcache = (
+                c_ax, c_ay, c_bx, c_by, c_dx, c_dy,
+                c_thr, c_mnx, c_mxx, c_mny, c_mxy,
+            )
+            object.__setattr__(idx, "_bseg_cache", bcache)
 
         # chunk the (candidate x local-segment) pair expansion so the
         # temporaries stay cache-resident instead of streaming multi-MB
@@ -200,29 +237,53 @@ def probe_ranks(
             # gathered slices upcast to float64 BEFORE any arithmetic:
             # float32 storage is lossless (index.py), so every predicate
             # below is bit-identical to the float64-storage result
-            ax = idx.seg_a[seg_ids, 0].astype(np.float64, copy=False)
-            ay = idx.seg_a[seg_ids, 1].astype(np.float64, copy=False)
-            bx = idx.seg_b[seg_ids, 0].astype(np.float64, copy=False)
-            by = idx.seg_b[seg_ids, 1].astype(np.float64, copy=False)
+            if bcache is not None:
+                (
+                    c_ax, c_ay, c_bx, c_by, c_dx, c_dy,
+                    c_thr, c_mnx, c_mxx, c_mny, c_mxy,
+                ) = bcache
+                ax = c_ax[seg_ids]
+                ay = c_ay[seg_ids]
+                bx = c_bx[seg_ids]
+                by = c_by[seg_ids]
+                dx = c_dx[seg_ids]
+                dy = c_dy[seg_ids]
+                thr = c_thr[seg_ids]
+                mnx = c_mnx[seg_ids]
+                mxx = c_mxx[seg_ids]
+                mny = c_mny[seg_ids]
+                mxy = c_mxy[seg_ids]
+            else:
+                ax = idx.seg_a[seg_ids, 0].astype(np.float64, copy=False)
+                ay = idx.seg_a[seg_ids, 1].astype(np.float64, copy=False)
+                bx = idx.seg_b[seg_ids, 0].astype(np.float64, copy=False)
+                by = idx.seg_b[seg_ids, 1].astype(np.float64, copy=False)
+                dx = bx - ax
+                dy = by - ay
+                thr = geom.ON_EDGE_EPS * np.maximum(np.hypot(dx, dy), 1.0)
+                mnx = np.minimum(ax, bx) - geom.ON_EDGE_EPS
+                mxx = np.maximum(ax, bx) + geom.ON_EDGE_EPS
+                mny = np.minimum(ay, by) - geom.ON_EDGE_EPS
+                mxy = np.maximum(ay, by) + geom.ON_EDGE_EPS
             px = px_all[start:end][rep_pair]
             py = py_all[start:end][rep_pair]
             cx = cx_all[start:end][rep_pair]
             cy = cy_all[start:end][rep_pair]
 
             # on-segment (touches) test — inclusive boundary (Util.kt:12-13)
-            cross_prod = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
-            seg_len = np.hypot(bx - ax, by - ay)
-            colinear = np.abs(cross_prod) <= geom.ON_EDGE_EPS * np.maximum(
-                seg_len, 1.0
-            )
-            inbox = (
-                (px >= np.minimum(ax, bx) - geom.ON_EDGE_EPS)
-                & (px <= np.maximum(ax, bx) + geom.ON_EDGE_EPS)
-                & (py >= np.minimum(ay, by) - geom.ON_EDGE_EPS)
-                & (py <= np.maximum(ay, by) + geom.ON_EDGE_EPS)
-            )
+            cross_prod = dx * (py - ay) - dy * (px - ax)
+            colinear = np.abs(cross_prod) <= thr
+            inbox = (px >= mnx) & (px <= mxx) & (py >= mny) & (py <= mxy)
             on_seg = colinear & inbox
-            crossing = geom.segments_cross_query(cx, cy, px, py, ax, ay, bx, by)
+            # segments_cross_query inlined with the per-segment d1/d2
+            # bases hoisted: d2's orient(a, b, p) IS cross_prod (same
+            # expression over the same doubles), d1 reuses dx/dy; the
+            # half-open convention (>0 vs <=0 on both tests) unchanged
+            d1 = dx * (cy - ay) - dy * (cx - ax) > 0
+            d2 = cross_prod > 0
+            d3 = (px - cx) * (ay - cy) - (py - cy) * (ax - cx) > 0
+            d4 = (px - cx) * (by - cy) - (py - cy) * (bx - cx) > 0
+            crossing = (d1 != d2) & (d3 != d4)
 
             if np.all(k > 0):
                 # candidates are contiguous runs -> reduceat (boolean ops,
