@@ -487,23 +487,24 @@ class TzEngine:
                 ranks_c = None
                 drop_cols = ["__tz_valid", "__tz_first_rank"]
         else:
-            fields = [T.StructField("valid", T.BooleanType())]
-            if include_all:
-                fields.append(T.StructField("ranks", T.ArrayType(rank_t)))
-            else:
-                fields.append(T.StructField("first_rank", rank_t))
-            probe_schema = T.StructType(fields)
+            probe_schema = T.ArrayType(rank_t) if include_all else rank_t
 
             # Arrow-native scalar UDF (round 6, Spark 4.1 arrow_udf —
             # VERDICT r5 #4 "arrow speed for wide rows"): same
             # ArrowEvalPython plan shape as the former pandas_udf — only
             # (lat, lon) cross into Python, payload columns stay
             # JVM-side — but the kernel's native pyarrow outputs go
-            # straight into a StructArray, skipping the pandas
-            # Series/ArrowDtype wrapping that was most of the wrapper's
-            # per-batch cost. Zone-name strings are still attached and
-            # the probe-res cell id Morton-encoded JVM-side. No per-row
-            # Python.
+            # straight out, with no struct wrapper at all: the ``valid``
+            # flag is NOT shipped (round 6 — guide §2.3/§4, ship only
+            # what must cross). It is pure region-bound arithmetic on
+            # the very lat/lon columns the JVM already holds, so the
+            # engine re-derives it below as a parsed expression that
+            # reproduces numpy's semantics exactly (isnan guard: SQL
+            # ranks NaN above every value where numpy comparisons are
+            # False; coalesce: a NULL coordinate reads as invalid,
+            # matching the NaN it becomes across the Arrow boundary).
+            # Zone-name strings are still attached and the probe-res
+            # cell id Morton-encoded JVM-side. No per-row Python.
             @F.arrow_udf(probe_schema)
             def _probe(lat: pa.Array, lon: pa.Array) -> pa.Array:
                 idx = bc.value
@@ -513,16 +514,10 @@ class TzEngine:
                 lons = lon.to_numpy(zero_copy_only=False).astype(
                     np.float64, copy=False
                 )
-                valid, first_arr, list_arr = probemod.probe_arrow(
+                _valid, first_arr, list_arr = probemod.probe_arrow(
                     idx, lats, lons, mode=mode, with_all=include_all
                 )
-                if include_all:
-                    return pa.StructArray.from_arrays(
-                        [pa.array(valid), list_arr], ["valid", "ranks"]
-                    )
-                return pa.StructArray.from_arrays(
-                    [pa.array(valid), first_arr], ["valid", "first_rank"]
-                )
+                return list_arr if include_all else first_arr
 
             if "__tz" in df.columns:
                 # mirror the arrow impl's reserved-name check (ADVICE r5
@@ -535,12 +530,20 @@ class TzEngine:
             res = df.withColumn(
                 "__tz", _probe(F.col(lat_col), F.col(lon_col))
             )
-            valid_c = F.col("__tz.valid")
+            mn_lat, mn_lon, mx_lat, mx_lon = self.idx.init_region
+            valid_c = F.expr(
+                "coalesce("
+                f"NOT isnan(CAST(`{lat_col}` AS DOUBLE)) AND "
+                f"NOT isnan(CAST(`{lon_col}` AS DOUBLE)) AND "
+                f"`{lat_col}` >= {mn_lat!r}D AND `{lat_col}` <= {mx_lat!r}D "
+                f"AND `{lon_col}` >= {mn_lon!r}D AND `{lon_col}` <= "
+                f"{mx_lon!r}D, false)"
+            )
             if include_all:
-                first_c = F.get(F.col("__tz.ranks"), F.lit(0))
-                ranks_c = F.col("__tz.ranks")
+                first_c = F.get(F.col("__tz"), F.lit(0))
+                ranks_c = F.col("__tz")
             else:
-                first_c = F.col("__tz.first_rank")
+                first_c = F.col("__tz")
                 ranks_c = None
             drop_cols = ["__tz"]
 
