@@ -52,28 +52,32 @@ def main() -> None:
     sections.append(
         (
             "Q1-only assignment (include_all=False fast path)",
-            "Same shuffle-free shape, but the ArrowEvalPython struct has "
-            "NO `ranks` list field and the Project has no per-element "
-            "transform — the all-matches array is neither built nor "
-            "serialized (2.3x measured on the 6M-point bench).",
+            "Same shuffle-free shape, but the UDF output is ONE bare "
+            "first-rank int16 column (round 6: no struct wrapper, no "
+            "valid flag — validity is re-derived JVM-side from the "
+            "lat/lon bounds inside codegen) and the Project has no "
+            "per-element transform — the all-matches array is neither "
+            "built nor serialized.",
             formatted(q1),
         )
     )
 
-    # 1c. narrow input -> auto impl resolves to the mapInArrow probe
+    # 1c. explicit mapInArrow probe (the opt-in alternative impl)
     narrow = df.select("lat", "lon")
-    arrow_plan = eng.assign_timezones(narrow)  # auto -> arrow
+    arrow_plan = eng.assign_timezones(narrow, impl="arrow")
     sections.append(
         (
-            "Narrow-input assignment (impl auto -> mapInArrow probe)",
-            "On a (lat, lon)-only input `impl=\"auto\"` resolves to the "
-            "mapInArrow probe (round 5): the plan shows `MapInArrow` "
-            "instead of `ArrowEvalPython` — the kernel's pyarrow outputs "
-            "are appended to each RecordBatch with no pandas wrapping "
-            "(2.4x measured at 8 cores on the 6M-point bench; results "
-            "bit-identical). Still no Exchange. Wider inputs keep the "
-            "scalar pandas_udf plan above, where non-probe columns never "
-            "cross into Python.",
+            "mapInArrow probe (explicit impl=\"arrow\")",
+            "Since round 6 `impl=\"auto\"` ALWAYS resolves to the scalar "
+            "arrow_udf plan above (the Spark 4.1 native Arrow UDF removed "
+            "the pandas wrapping that made mapInArrow win on narrow "
+            "inputs; interleaved A/B: scalar 0.54-0.74 s vs mapInArrow "
+            "1.08-1.17 s at 6M rows even with zero passthrough columns). "
+            "The mapInArrow impl stays available explicitly and for "
+            "inputs carrying the reserved `__tz` name: `MapInArrow` "
+            "instead of `ArrowEvalPython`, every input column "
+            "round-tripping through Python. Still no Exchange; results "
+            "bit-identical.",
             formatted(arrow_plan),
         )
     )
