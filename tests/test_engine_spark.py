@@ -322,3 +322,41 @@ def test_zones_accessor_int32_offset_overflow_guard(engine):
     big_engine = type(engine)(engine.spark, big_idx)
     with pytest.raises(ValueError, match="int32 list-offset"):
         big_engine.zones()
+
+
+def test_jvm_validity_expr_matches_kernel_semantics(spark, world):
+    """Round 6: the scalar probe no longer ships the valid flag — the
+    engine re-derives it JVM-side from the region bounds. The parsed
+    expression must reproduce numpy's comparison semantics on every
+    edge: NaN coordinates (SQL ranks NaN above all values where numpy
+    compares False — guarded by isnan), NULL coordinates (must read
+    invalid like the NaN they become across the Arrow boundary —
+    guarded by coalesce), exact region-border points (inclusive), and
+    one-ULP-outside points (rejected)."""
+    eng = TzEngine.for_region(
+        spark, world, 0.0, 0.0, 10.0, 10.0, world_version="synth1"
+    )
+    ulp_out = float(np.nextafter(10.0, 11.0))
+    rows = [
+        (5.0, 5.0, True),            # interior
+        (0.0, 0.0, True),            # region corner, inclusive
+        (10.0, 10.0, True),          # opposite corner, inclusive
+        (ulp_out, 5.0, False),       # one ULP outside
+        (5.0, ulp_out, False),
+        (float("nan"), 5.0, False),  # NaN lat
+        (5.0, float("nan"), False),  # NaN lon
+        (None, 5.0, False),          # NULL lat
+        (5.0, None, False),          # NULL lon
+        (11.0, 5.0, False),          # plainly outside
+    ]
+    df = spark.createDataFrame(
+        [(la, lo) for la, lo, _ in rows], "lat double, lon double"
+    )
+    for include_all in (True, False):
+        got = eng.assign_timezones(
+            df, mode="pipeline", include_all=include_all
+        ).collect()
+        for (la, lo, want), r in zip(rows, got):
+            assert r.in_region == want, (la, lo, include_all, r)
+            if not want:
+                assert r.tzid is None and r.cell_id is None, (la, lo, r)

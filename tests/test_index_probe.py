@@ -324,3 +324,51 @@ def test_searchsorted_fallback_level_correctness():
     for i in range(len(lats)):
         exp = oracle.get_overlapping_time_zones(lats[i], lons[i])
         assert (tzids[i] or []) == exp, (lats[i], lons[i], tzids[i], exp)
+
+
+def test_merged_levels_probe_parity_with_unmerged():
+    """Round-6 merge_levels (quadtree rasterization of coarse covering
+    levels onto finer lookup tables) must be invisible to the probe:
+    offsets/ranks/valid identical to an index compiled with merging
+    disabled, on random points AND exact vertex coordinates (the
+    boundary pass is where the per-entry parity anchor ent_cx/ent_cy
+    must reproduce the original cell center bit-for-bit)."""
+    from tzengine.bigworld import big_world
+
+    world = big_world()
+    merged = index.compile_index(world, -90, -180, 90, 180, "big1")
+    orig = index.merge_levels
+    index.merge_levels = lambda levels, n: levels
+    try:
+        unmerged = index.compile_index(world, -90, -180, 90, 180, "big1")
+    finally:
+        index.merge_levels = orig
+    assert len(merged.levels) < len(unmerged.levels)  # non-vacuous
+
+    rng = np.random.default_rng(17)
+    lats = np.concatenate(
+        [rng.uniform(-63, 63, 20000), merged.verts[:2000, 1]]
+    )
+    lons = np.concatenate(
+        [rng.uniform(-63, 63, 20000), merged.verts[:2000, 0]]
+    )
+    oa, ra, va = probe.probe_ranks(merged, lats, lons, mode="pipeline")
+    ob, rb, vb = probe.probe_ranks(unmerged, lats, lons, mode="pipeline")
+    assert np.array_equal(oa, ob)
+    assert np.array_equal(ra, rb)
+    assert np.array_equal(va, vb)
+
+
+def test_merged_levels_entry_lists_rank_ascending():
+    """Within every merged lookup cell the entry list must stay
+    rank-ascending (the probe relies on entry id order == rank order
+    after expansion; merging concatenates pushed-down and native pairs
+    and must re-establish it)."""
+    from tzengine.bigworld import big_world
+
+    idx = index.compile_index(big_world(), -90, -180, 90, 180, "big1")
+    for res, (uniq, offsets, ent) in idx.levels.items():
+        ranks = idx.ent_rank[ent]
+        for i in range(len(uniq)):
+            seg = ranks[offsets[i]:offsets[i + 1]]
+            assert np.all(np.diff(seg) > 0), (res, i)
