@@ -372,3 +372,35 @@ def test_merged_levels_entry_lists_rank_ascending():
         for i in range(len(uniq)):
             seg = ranks[offsets[i]:offsets[i + 1]]
             assert np.all(np.diff(seg) > 0), (res, i)
+
+
+def test_nearest_feet_bucket_prune_parity():
+    """Round-6 foot-search bucket prune: the evaluated segment subset
+    must always contain every minimum-achieving segment, so (fx, fy,
+    d2min) are bitwise identical to the full scan — including d2=0
+    ties from points sitting exactly on piece vertices (first-minimum
+    tie-break)."""
+    from tzengine.bigworld import big_world
+
+    idx = index.compile_index(big_world(), -90, -180, 90, 180, "big1")
+    rng = np.random.default_rng(9)
+    n = 20000
+    plon = rng.uniform(-60, 60, n)
+    plat = rng.uniform(-60, 60, n)
+    prank = rng.integers(0, idx.n_pieces, n).astype(np.int64)
+    vsel = rng.integers(0, idx.n_pieces, 2000)
+    vv = np.array([idx.piece_rings(int(r))[0][0] for r in vsel])
+    plon = np.concatenate([plon, vv[:, 0]])
+    plat = np.concatenate([plat, vv[:, 1]])
+    prank = np.concatenate([prank, vsel]).astype(np.int64)
+
+    pruned = probe._nearest_feet_flat(idx, plon, plat, prank)
+    assert getattr(idx, "_seg_buckets", None) is not None  # non-vacuous
+    old = probe.FOOT_PRUNE_MIN_SEGS
+    probe.FOOT_PRUNE_MIN_SEGS = 1 << 60
+    try:
+        full = probe._nearest_feet_flat(idx, plon, plat, prank)
+    finally:
+        probe.FOOT_PRUNE_MIN_SEGS = old
+    for a, b in zip(pruned, full):
+        assert np.array_equal(a, b)

@@ -474,6 +474,96 @@ def distance_from_boundary_batch(
     return out
 
 
+def _seg_flat_cache(idx: CompiledIndex):
+    """Per-index cache of float64 segment components + the pair-invariant
+    dx/dy/len2 (len2 stays a gathered-then-computed EXACT product of
+    the same doubles, so the foot's division is bit-identical)."""
+    flat = getattr(idx, "_seg_flat", None)
+    if flat is None:
+        s_ax = np.ascontiguousarray(idx.seg_a[:, 0], dtype=np.float64)
+        s_ay = np.ascontiguousarray(idx.seg_a[:, 1], dtype=np.float64)
+        s_bx = np.ascontiguousarray(idx.seg_b[:, 0], dtype=np.float64)
+        s_by = np.ascontiguousarray(idx.seg_b[:, 1], dtype=np.float64)
+        s_dx = s_bx - s_ax
+        s_dy = s_by - s_ay
+        s_len2 = s_dx * s_dx + s_dy * s_dy
+        flat = (s_ax, s_ay, s_dx, s_dy, s_len2)
+        object.__setattr__(idx, "_seg_flat", flat)
+    return flat
+
+
+# Foot-search bucket pruning (round 6): segments of each piece are tiled
+# into buckets of FOOT_BUCKET consecutive segments with an exact bbox;
+# per (point, piece) pair a cheap upper bound U (exact foot distance to
+# ONE representative segment per bucket) prunes every bucket whose
+# bbox lower bound exceeds U * FOOT_PRUNE_MARGIN. Every segment of a
+# pruned bucket lies inside that bucket's bbox, so its distance is >=
+# the bucket bound > U >= d2min — strictly farther, which preserves the
+# exact minimum AND the first-minimum tie-break; the 1e-9 relative
+# margin dwarfs the ~1e-15 relative rounding of the bound arithmetic,
+# so float rounding cannot flip an exclusion.
+FOOT_BUCKET = 16
+FOOT_PRUNE_MARGIN = 1.0 + 1e-9
+FOOT_PRUNE_MIN_SEGS = 3 * FOOT_BUCKET  # below this a piece scan is cheap
+
+
+def _seg_bucket_cache(idx: CompiledIndex):
+    cached = getattr(idx, "_seg_buckets", None)
+    if cached is not None:
+        return cached
+    so = idx.seg_offsets.astype(np.int64)
+    counts = np.diff(so)
+    nb = (counts + FOOT_BUCKET - 1) // FOOT_BUCKET
+    pb_off = np.zeros(len(nb) + 1, dtype=np.int64)
+    np.cumsum(nb, out=pb_off[1:])
+    total = int(pb_off[-1])
+    piece_of = np.repeat(np.arange(len(nb)), nb)
+    k_in = np.arange(total) - np.repeat(pb_off[:-1], nb)
+    b_lo = so[piece_of] + k_in * FOOT_BUCKET
+    b_hi = np.minimum(b_lo + FOOT_BUCKET, so[piece_of + 1])
+    # exact bbox over BOTH endpoints (bucket spans tile the segment
+    # array in order, so b_lo is a valid reduceat starts array)
+    a0 = np.ascontiguousarray(idx.seg_a[:, 0], dtype=np.float64)
+    a1 = np.ascontiguousarray(idx.seg_a[:, 1], dtype=np.float64)
+    b0 = np.ascontiguousarray(idx.seg_b[:, 0], dtype=np.float64)
+    b1 = np.ascontiguousarray(idx.seg_b[:, 1], dtype=np.float64)
+    if total:
+        mnx = np.minimum(
+            np.minimum.reduceat(a0, b_lo), np.minimum.reduceat(b0, b_lo)
+        )
+        mxx = np.maximum(
+            np.maximum.reduceat(a0, b_lo), np.maximum.reduceat(b0, b_lo)
+        )
+        mny = np.minimum(
+            np.minimum.reduceat(a1, b_lo), np.minimum.reduceat(b1, b_lo)
+        )
+        mxy = np.maximum(
+            np.maximum.reduceat(a1, b_lo), np.maximum.reduceat(b1, b_lo)
+        )
+    else:
+        mnx = mxx = mny = mxy = np.zeros(0)
+    cached = (pb_off, b_lo, b_hi, mnx, mxx, mny, mxy)
+    object.__setattr__(idx, "_seg_buckets", cached)
+    return cached
+
+
+def _eval_feet(flat, seg_pos, px, py):
+    """Exact foot d² (and foot coords) per (pair, segment) row — the
+    single AST every foot in this module evaluates."""
+    s_ax, s_ay, s_dx, s_dy, s_len2 = flat
+    ax = s_ax[seg_pos]
+    ay = s_ay[seg_pos]
+    dx = s_dx[seg_pos]
+    dy = s_dy[seg_pos]
+    len2 = s_len2[seg_pos]
+    t = ((px - ax) * dx + (py - ay) * dy) / len2
+    t = np.where(len2 > 0, np.clip(t, 0.0, 1.0), 0.0)
+    cx = ax + t * dx
+    cy = ay + t * dy
+    d2 = (px - cx) ** 2 + (py - cy) ** 2
+    return cx, cy, d2
+
+
 def _nearest_feet_flat(
     idx: CompiledIndex,
     pair_lon: np.ndarray,
@@ -494,7 +584,12 @@ def _nearest_feet_flat(
     arithmetic), the same foot AST, and the same FIRST-minimum tie-break
     (position of the first d² equal to the exact segment-run minimum —
     np.minimum.reduceat performs only comparisons, so the run minimum is
-    one of the original floats and the equality test is exact).
+    one of the original floats and the equality test is exact). When the
+    average piece is large enough, the bucket prune (see FOOT_BUCKET)
+    skips segments that are PROVABLY strictly farther than the minimum —
+    the evaluated subset always contains every minimum-achieving
+    segment, so outputs (incl. the tie-break) are unchanged; parity is
+    pinned by test_nearest_feet_bucket_prune_parity.
 
     Returns (fx, fy, d2min) each (n_pairs,) float64 — d2min is the
     squared planar degree distance (sqrt of it == the planar metric).
@@ -504,50 +599,81 @@ def _nearest_feet_flat(
     fx = np.empty(n_pairs)
     fy = np.empty(n_pairs)
     d2m = np.empty(n_pairs)
-    # per-index cache of float64 segment components + the pair-invariant
-    # dx/dy/len2 (len2 stays a gathered-then-computed EXACT product of
-    # the same doubles, so t's division is bit-identical)
-    flat = getattr(idx, "_seg_flat", None)
-    if flat is None:
-        s_ax = np.ascontiguousarray(idx.seg_a[:, 0], dtype=np.float64)
-        s_ay = np.ascontiguousarray(idx.seg_a[:, 1], dtype=np.float64)
-        s_bx = np.ascontiguousarray(idx.seg_b[:, 0], dtype=np.float64)
-        s_by = np.ascontiguousarray(idx.seg_b[:, 1], dtype=np.float64)
-        s_dx = s_bx - s_ax
-        s_dy = s_by - s_ay
-        s_len2 = s_dx * s_dx + s_dy * s_dy
-        flat = (s_ax, s_ay, s_dx, s_dy, s_len2)
-        object.__setattr__(idx, "_seg_flat", flat)
-    s_ax, s_ay, s_dx, s_dy, s_len2 = flat
+    flat = _seg_flat_cache(idx)
     k_all = (
         idx.seg_offsets[pair_rank + 1] - idx.seg_offsets[pair_rank]
     ).astype(np.int64)
-    cum = np.cumsum(k_all)
+
+    use_prune = n_pairs > 0 and (
+        k_all.sum() >= n_pairs * FOOT_PRUNE_MIN_SEGS
+    )
+    if use_prune:
+        pb_off, b_lo, b_hi, mnx, mxx, mny, mxy = _seg_bucket_cache(idx)
+        nb = (pb_off[pair_rank + 1] - pb_off[pair_rank]).astype(np.int64)
+        tot_b = int(nb.sum())
+        bk_pair = np.repeat(np.arange(n_pairs), nb)
+        bk_id = np.repeat(pb_off[pair_rank], nb) + (
+            np.arange(tot_b) - np.repeat(np.cumsum(nb) - nb, nb)
+        )
+        bpx = pair_lon[bk_pair]
+        bpy = pair_lat[bk_pair]
+        # upper bound: exact foot d² to one representative segment per
+        # bucket (its first) — attainable, so U >= the pair's true min
+        with np.errstate(divide="ignore", invalid="ignore"):
+            _cx, _cy, rep_d2 = _eval_feet(flat, b_lo[bk_id], bpx, bpy)
+        b_starts = (np.cumsum(nb) - nb).astype(np.int64)
+        U = np.minimum.reduceat(rep_d2, b_starts)
+        # lower bound: squared distance to the bucket bbox (every
+        # segment lies inside its bucket's bbox)
+        ddx = np.maximum(
+            np.maximum(mnx[bk_id] - bpx, bpx - mxx[bk_id]), 0.0
+        )
+        ddy = np.maximum(
+            np.maximum(mny[bk_id] - bpy, bpy - mxy[bk_id]), 0.0
+        )
+        lb = ddx * ddx + ddy * ddy
+        keep = lb <= U[bk_pair] * FOOT_PRUNE_MARGIN
+        kb_pair = bk_pair[keep]
+        kb_id = bk_id[keep]
+        seg_counts = b_hi[kb_id] - b_lo[kb_id]
+        # per-pair kept-segment totals drive the chunking below
+        k_eval = np.bincount(kb_pair, weights=seg_counts, minlength=n_pairs
+                             ).astype(np.int64)
+        # expand kept buckets to their segments (pair-major, original
+        # segment order preserved within each pair)
+        tot_s = int(seg_counts.sum())
+        srep = np.repeat(np.arange(len(kb_id)), seg_counts)
+        seg_pos_all = np.repeat(b_lo[kb_id], seg_counts) + (
+            np.arange(tot_s)
+            - np.repeat(np.cumsum(seg_counts) - seg_counts, seg_counts)
+        )
+        rep_all = kb_pair[srep]
+    else:
+        k_eval = k_all
+        seg_pos_all = None
+        rep_all = None
+
+    cum = np.cumsum(k_eval)
     start = 0
     with np.errstate(divide="ignore", invalid="ignore"):
         while start < n_pairs:
             base = int(cum[start - 1]) if start else 0
             end = int(np.searchsorted(cum, base + pair_chunk, side="left")) + 1
             end = min(max(end, start + 1), n_pairs)
-            k = k_all[start:end]
+            k = k_eval[start:end]
             total = int(cum[end - 1] - base)
-            rep = np.repeat(np.arange(end - start), k)
             run_starts = (np.cumsum(k) - k).astype(np.int64)
-            seg_pos = np.repeat(
-                idx.seg_offsets[pair_rank[start:end]], k
-            ) + (np.arange(total) - np.repeat(run_starts, k))
-            ax = s_ax[seg_pos]
-            ay = s_ay[seg_pos]
-            dx = s_dx[seg_pos]
-            dy = s_dy[seg_pos]
-            len2 = s_len2[seg_pos]
+            if use_prune:
+                seg_pos = seg_pos_all[base:base + total]
+                rep = rep_all[base:base + total] - start
+            else:
+                rep = np.repeat(np.arange(end - start), k)
+                seg_pos = np.repeat(
+                    idx.seg_offsets[pair_rank[start:end]], k
+                ) + (np.arange(total) - np.repeat(run_starts, k))
             px = pair_lon[start:end][rep]
             py = pair_lat[start:end][rep]
-            t = ((px - ax) * dx + (py - ay) * dy) / len2
-            t = np.where(len2 > 0, np.clip(t, 0.0, 1.0), 0.0)
-            cx = ax + t * dx
-            cy = ay + t * dy
-            d2 = (px - cx) ** 2 + (py - cy) ** 2
+            cx, cy, d2 = _eval_feet(flat, seg_pos, px, py)
             dmin = np.minimum.reduceat(d2, run_starts)
             pos = np.arange(total)
             first = np.minimum.reduceat(
